@@ -1,0 +1,152 @@
+"""Point-in-time (as-of) join — the engine's flagship custom operator (J5).
+
+The reference has no true as-of join (its closest analog is temporal day
+bucketing, group_audio_files.py:26-28 + J1); the north_rule makes it
+first-class: for every left row (key, ts), attach the most recent right row
+with right.ts <= left.ts (or < for strict), optionally within a tolerance.
+
+Two physical strategies, chosen by the caller or by a size/skew heuristic:
+
+1. ``asof_join`` (default, sort-merge shape): union-tag both sides, then
+   ``last(value, ignorenulls=True)`` over a window partitioned by key and
+   ordered by (ts, side_tag) with an unbounded-preceding frame. Exactly ONE
+   shuffle of left+right on the key — the same cost as a sort-merge join —
+   and no Python. Right rows sort before left rows at equal ts, giving
+   inclusive (<=) semantics; strict mode flips the tag order.
+
+2. ``asof_join_broadcast``: when the right side is small (a dimension
+   time-series), collect it per key into a sorted array, broadcast, and
+   binary-search-equivalent lookup via array filtering. No shuffle of the
+   left side at all — this is also the skew escape hatch: a hot key on the
+   left never concentrates on one task because the left side is never
+   repartitioned by key.
+
+Zero temporal leakage by construction: the window frame ends at the current
+row, and right rows at ts > left.ts can never precede the left row in the
+(ts, tag) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    value_cols: list[str] | None = None,
+    inclusive: bool = True,
+    tolerance_s: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Sort-merge-shaped as-of join.
+
+    Returns ``left`` with, for each of ``value_cols`` (default: all non-key,
+    non-ts right columns), a ``<col><suffix>`` column holding the value from
+    the latest right row at-or-before (or strictly before) the left row's ts,
+    plus ``<ts_col><suffix>`` with that right row's timestamp.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts_col or ts_col
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys + [rts]]
+
+    # Tag order decides tie behavior at equal timestamps:
+    # inclusive (<=): right first (tag 0) so left sees same-ts right rows;
+    # strict (<):     left first (tag 0) so same-ts right rows are ignored.
+    left_tag, right_tag = (1, 0) if inclusive else (0, 1)
+
+    lcols = [F.col(c) for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(ts_col).alias("_asof_ts"),
+        F.lit(left_tag).alias("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[rts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        F.col(rts).alias("_asof_ts"),
+        F.lit(right_tag).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(rts).alias("_r_ts"),
+    ).select(*l_tagged.columns)  # align column order
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col("_tag"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+    )
+    out = filled.filter(F.col("_tag") == left_tag).drop("_tag")
+
+    if tolerance_s is not None:
+        age = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"{ts_col}{suffix}"))
+        ) / F.lit(1_000_000.0)
+        stale = F.col(f"{ts_col}{suffix}").isNull() | (age > tolerance_s)
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
+            )
+        out = out.withColumn(
+            f"{ts_col}{suffix}",
+            F.when(stale, F.lit(None)).otherwise(F.col(f"{ts_col}{suffix}")),
+        )
+    return out
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    value_cols: list[str] | None = None,
+    inclusive: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Broadcast as-of join for small right sides / skewed left keys.
+
+    Aggregates the right side to one sorted array of (ts, values) per key
+    (small by assumption), broadcasts it, and per left row selects the last
+    array element at-or-before ts with JVM array expressions.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts_col or ts_col
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys + [rts]]
+
+    packed = right.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(rts).alias("_ts"), *[F.col(c) for c in value_cols]))
+        ).alias("_series")
+    )
+    joined = left.join(F.broadcast(packed), on=keys, how="left")
+    lts = F.unix_micros(F.col(ts_col))
+    cond = (
+        (lambda e: F.unix_micros(e["_ts"]) <= lts)
+        if inclusive
+        else (lambda e: F.unix_micros(e["_ts"]) < lts)
+    )
+    match = F.element_at(F.filter(F.col("_series"), cond), -1)
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", match[c])
+    out = out.withColumn(f"{ts_col}{suffix}", match["_ts"]).drop("_series")
+    return out
