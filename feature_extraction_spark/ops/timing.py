@@ -1,0 +1,167 @@
+"""Timing feature pack — the reference's core timing kernel rebuilt natively.
+
+Reference semantics:
+- per-segment intermediates (microsoft_asr_features/extract_timing_features.py:102-164):
+  segment duration in SECONDS (100ns * 1e-7), word durations in MS
+  (100ns * 1e-4), words-per-second per segment, and silence durations in MS:
+  leading (first word offset - segment offset), inter-word lag-gaps
+  (curr.Offset - (prev.Offset + prev.Duration)), trailing (segment end -
+  last word end), with zero-length silences dropped (:163).
+- group kernel (timing_features/extract_word_phone_timing.py:10-71):
+  max/min/mean/med/std bundles per sound type + derived ratios, population
+  std, NaN guards, total_duration from a per-entity duration lookup
+  (the reference does an O(groups×dim) loc-scan per group, :175 — rebuilt
+  as a pre-aggregated broadcast join, SURVEY.md J2).
+
+Spark-first: silence extraction is array algebra over the typed
+``word_timing`` column (transform-with-index lag-gap — no explode until the
+aggregation, no Python); then three grain-specific hash aggregations
+(turn / word / silence) joined on the entity keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.functions.text import nan, nan_guard_div
+from feature_extraction_spark.ops.levels import keys_for
+
+
+def _bundle(col, prefix: str):
+    return [
+        F.max(col).cast("double").alias(f"{prefix}_max"),
+        F.min(col).cast("double").alias(f"{prefix}_min"),
+        F.mean(col).alias(f"{prefix}_mean"),
+        F.median(col).alias(f"{prefix}_med"),
+        F.stddev_pop(col).alias(f"{prefix}_std"),
+    ]
+
+
+def with_turn_timing(df: DataFrame) -> DataFrame:
+    """Add per-turn timing intermediates: seg_sec, word_durs_ms (array),
+    sil_durs_ms (array, zero-filtered), wps_seg."""
+    wt = F.col("word_timing")
+    seg_sec = F.col("duration").cast("double") * 1e-7
+
+    word_durs = F.transform(wt, lambda w: w["Duration"].cast("double") * 1e-4)
+
+    # silences: leading + inter-word gaps via transform-with-index, then
+    # trailing appended; all * 1e-4 to ms; zeros removed (reference :163).
+    def sil(w, i):
+        prev = F.element_at(wt, i)  # i is 0-based -> element_at 1-based = prev
+        return F.when(
+            i == 0, (w["Offset"] - F.col("offset")).cast("double") * 1e-4
+        ).otherwise(
+            (w["Offset"] - (prev["Offset"] + prev["Duration"])).cast("double") * 1e-4
+        )
+
+    between = F.transform(wt, sil)
+    last = F.element_at(wt, -1)
+    trailing = (
+        (F.col("offset") + F.col("duration")) - (last["Offset"] + last["Duration"])
+    ).cast("double") * 1e-4
+    sils = F.when(F.size(wt) > 0, F.concat(between, F.array(trailing))).otherwise(
+        F.array().cast("array<double>")
+    )
+    sils = F.filter(sils, lambda x: x != 0.0)
+
+    return (
+        df.withColumn("seg_sec", seg_sec)
+        .withColumn("word_durs_ms", word_durs)
+        .withColumn("sil_durs_ms", sils)
+        .withColumn(
+            "wps_seg", F.size(wt).cast("double") / F.col("seg_sec")
+        )
+    )
+
+
+def timing_stats(
+    df: DataFrame,
+    level: str = "conv",
+    durations: DataFrame | None = None,
+) -> DataFrame:
+    """One wide row per entity with the reference's timing features:
+    {segments,silences,words,wps}_{max,min,mean,med,std}, sil_duration,
+    spk_duration, spk_sil_ratio, sps, wps, sil_count, short_utt_count,
+    segment_count, word_count, total_duration, spk_ratio, sil_ratio,
+    segs_per_min, short_utts_per_min.
+
+    ``durations``: optional dimension with the entity keys + ``duration_ms``;
+    pre-aggregated and broadcast-joined (replaces reference J2's per-group
+    scan). Without it total_duration-derived features are NaN.
+    """
+    keys = keys_for(level)
+    t = with_turn_timing(df)
+
+    turn_agg = t.groupBy(*keys).agg(
+        *_bundle(F.col("seg_sec"), "segments"),
+        *_bundle(F.col("wps_seg"), "wps"),
+        F.sum("seg_sec").alias("spk_duration"),
+        F.count(F.lit(1)).cast("double").alias("segment_count"),
+        F.sum(F.when(F.col("seg_sec") <= 1.0, 1).otherwise(0))
+        .cast("double")
+        .alias("short_utt_count"),
+    )
+
+    word_rows = t.select(*keys, F.explode("word_durs_ms").alias("wd"))
+    word_agg = word_rows.groupBy(*keys).agg(
+        *_bundle(F.col("wd"), "words"),
+        F.count(F.lit(1)).cast("double").alias("word_count"),
+    )
+
+    sil_rows = t.select(*keys, F.explode("sil_durs_ms").alias("sd"))
+    sil_agg = sil_rows.groupBy(*keys).agg(
+        *_bundle(F.col("sd"), "silences"),
+        F.count(F.lit(1)).cast("double").alias("sil_count"),
+        (F.sum("sd") * 0.001).alias("sil_duration"),
+    )
+
+    out = turn_agg.join(word_agg, on=keys, how="left").join(
+        sil_agg, on=keys, how="left"
+    )
+    # empty word/silence lists -> NaN bundles, zero counts (np.sum([]) == 0.0)
+    for p in ("words", "silences"):
+        for s in ("max", "min", "mean", "med", "std"):
+            out = out.withColumn(f"{p}_{s}", F.coalesce(F.col(f"{p}_{s}"), nan()))
+    out = (
+        out.withColumn("word_count", F.coalesce(F.col("word_count"), F.lit(0.0)))
+        .withColumn("sil_count", F.coalesce(F.col("sil_count"), F.lit(0.0)))
+        .withColumn("sil_duration", F.coalesce(F.col("sil_duration"), F.lit(0.0)))
+    )
+
+    out = (
+        out.withColumn(
+            "spk_sil_ratio", nan_guard_div(F.col("spk_duration"), F.col("sil_duration"))
+        )
+        .withColumn("sps", nan_guard_div(F.col("sil_count"), F.col("spk_duration")))
+        .withColumn("wps", nan_guard_div(F.col("word_count"), F.col("spk_duration")))
+    )
+
+    if durations is not None:
+        dim = durations.groupBy(*keys).agg(
+            (F.sum("duration_ms") * 1e-3).alias("total_duration")
+        )
+        out = out.join(F.broadcast(dim), on=keys, how="left").withColumn(
+            "total_duration", F.coalesce(F.col("total_duration"), F.lit(0.0))
+        )
+    else:
+        out = out.withColumn("total_duration", nan())
+
+    out = (
+        out.withColumn(
+            "spk_ratio", nan_guard_div(F.col("spk_duration"), F.col("total_duration"))
+        )
+        .withColumn(
+            "sil_ratio", nan_guard_div(F.col("sil_duration"), F.col("total_duration"))
+        )
+        .withColumn(
+            "segs_per_min",
+            nan_guard_div(F.col("segment_count"), F.col("total_duration") / 60.0),
+        )
+        .withColumn(
+            "short_utts_per_min",
+            nan_guard_div(F.col("short_utt_count"), F.col("total_duration") / 60.0),
+        )
+    )
+    return out

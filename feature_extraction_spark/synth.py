@@ -164,6 +164,98 @@ def synth_transcripts(
     )
 
 
+def synth_asr_segments(
+    spark: SparkSession,
+    n_convs: int = 200,
+    seed: int = 42,
+    **kwargs,
+) -> DataFrame:
+    """Transcripts extended with the reference's Microsoft-ASR timing shape
+    (FIXTURES.md §2a): per-turn ``offset``/``duration`` in 100-ns units, a
+    typed ``word_timing`` array<struct<Word,Duration,Offset>> (the reference
+    keeps this as a stringified list parsed by hand,
+    extract_timing_features.py:74-100), and a per-turn ``confidence``.
+
+    Word boxes are built with a single ``aggregate`` fold over the turn's
+    token array — exact running offsets, no Python, no extra shuffle.
+    Includes zero-length gaps (zero-silence filter path,
+    extract_timing_features.py:163) and leading/trailing silences.
+    """
+    t = synth_transcripts(spark, n_convs=n_convs, seed=seed, **kwargs)
+
+    words = F.filter(F.split(F.col("text"), " ", -1), lambda w: F.length(w) > 0)
+    # per-turn segment start offset (100 ns): derived from ts
+    seg_offset = (F.unix_micros("ts") % F.lit(10_000_000_000)) * 10
+
+    def h(salt, *extra):
+        return F.pmod(
+            F.xxhash64(F.lit(seed), F.lit(salt), F.col("conv_id"), F.col("turn_idx"), *extra),
+            F.lit(1_000_000),
+        )
+
+    # fold: acc = struct(cur: long, arr: array<struct<Word,Duration,Offset>>)
+    def step(acc, j):
+        dur = (F.lit(1_000_000) + h("wdur", j) * 4).cast("long")  # 0.1-0.5 s
+        gap = F.when(
+            F.pmod(h("wgap", j), F.lit(3)) == 0, F.lit(0)
+        ).otherwise(h("wgap2", j) * 2).cast("long")  # 0 or up to 0.2 s
+        start = acc["cur"] + gap
+        elem = F.struct(
+            F.element_at(F.col("_words"), j.cast("int")).alias("Word"),
+            dur.alias("Duration"),
+            start.alias("Offset"),
+        )
+        return F.struct(
+            (start + dur).alias("cur"),
+            F.concat(acc["arr"], F.array(elem)).alias("arr"),
+        )
+
+    lead_sil = F.when(F.pmod(h("lead"), F.lit(4)) == 0, F.lit(0)).otherwise(
+        h("lead2") * 2
+    ).cast("long")
+    trail_sil = F.when(F.pmod(h("trail"), F.lit(4)) == 0, F.lit(0)).otherwise(
+        h("trail2") * 2
+    ).cast("long")
+
+    t = t.withColumn("_words", words).withColumn("offset", seg_offset.cast("long"))
+    init = F.struct(
+        (F.col("offset") + lead_sil).cast("long").alias("cur"),
+        F.array().cast(
+            "array<struct<Word:string,Duration:bigint,Offset:bigint>>"
+        ).alias("arr"),
+    )
+    # sequence(1, 0) would be a DESCENDING sequence — guard empty turns.
+    idxs = F.when(F.size("_words") > 0, F.sequence(F.lit(1), F.size("_words"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    folded = F.aggregate(idxs, init, step)
+    t = t.withColumn("_folded", folded)
+    t = t.withColumn("word_timing", F.col("_folded.arr"))
+    # segment duration covers lead silence + words/gaps + trailing silence;
+    # empty turns get a small nonzero duration.
+    t = t.withColumn(
+        "duration",
+        F.when(
+            F.size("word_timing") > 0,
+            (F.col("_folded.cur") - F.col("offset") + trail_sil).cast("long"),
+        ).otherwise((F.lit(5_000_000) + h("emptydur") * 10).cast("long")),
+    )
+    conf = 0.3 + (h("conf").cast("double") / 1_000_000.0) * 0.7
+    t = t.withColumn("confidence", conf)
+    return t.drop("_words", "_folded")
+
+
+def synth_durations(segments: DataFrame) -> DataFrame:
+    """Conversation-duration dimension (reference durations.csv, FIXTURES.md
+    §2c): duration_ms per conv derived from the segment span."""
+    return segments.groupBy("conv_id").agg(
+        (
+            (F.max(F.col("offset") + F.col("duration")) - F.min("offset"))
+            / F.lit(10_000)
+        ).alias("duration_ms")
+    )
+
+
 def write_transcripts(
     spark: SparkSession,
     path: str,

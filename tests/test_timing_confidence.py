@@ -1,0 +1,100 @@
+"""Parity: timing + confidence packs vs pandas oracle on the synthetic
+ASR-segment table (word_timing arrays, durations dimension)."""
+
+import numpy as np
+import pytest
+
+from feature_extraction_spark.oracle import kernels as ok
+from feature_extraction_spark.ops.confidence import confidence_stats
+from feature_extraction_spark.ops.timing import timing_stats
+from feature_extraction_spark.synth import synth_asr_segments, synth_durations
+
+TIMING_FEATS = (
+    [f"{st}_{s}" for st in ("segments", "silences", "words", "wps")
+     for s in ("max", "min", "mean", "med", "std")]
+    + ["sil_duration", "spk_duration", "spk_sil_ratio", "sps", "wps",
+       "sil_count", "short_utt_count", "segment_count", "word_count",
+       "total_duration", "spk_ratio", "sil_ratio", "segs_per_min",
+       "short_utts_per_min"]
+)
+
+
+@pytest.fixture(scope="module")
+def segments(spark):
+    df = synth_asr_segments(spark, n_convs=50, seed=42, max_turns=200).cache()
+    df.count()
+    return df
+
+
+def _oracle_times(g):
+    """Build the reference times_dict from the turn rows of one entity."""
+    times = {"segments": [], "silences": [], "words": [], "wps": []}
+    for _, seg in g.sort_values("turn_idx").iterrows():
+        seg_sec = seg["duration"] * 1e-7
+        times["segments"].append(seg_sec)
+        wt = list(seg["word_timing"]) if seg["word_timing"] is not None else []
+        for w in wt:
+            times["words"].append(w["Duration"] * 1e-4)
+        times["wps"].append(len(wt) / seg_sec)
+        sils = []
+        for i, w in enumerate(wt):
+            if i == 0:
+                sils.append((w["Offset"] - seg["offset"]) * 1e-4)
+            else:
+                prev = wt[i - 1]
+                sils.append((w["Offset"] - (prev["Offset"] + prev["Duration"])) * 1e-4)
+            if i == len(wt) - 1:
+                end_seg = seg["offset"] + seg["duration"]
+                sils.append((end_seg - (w["Offset"] + w["Duration"])) * 1e-4)
+        times["silences"].extend([x for x in sils if x != 0])
+    return times
+
+
+def test_timing_parity(spark, segments):
+    durations = synth_durations(segments)
+    got = (
+        timing_stats(segments, level="conv", durations=durations)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    pdf = segments.toPandas()
+    dur_pd = durations.toPandas().set_index("conv_id")
+    n_checked = 0
+    for conv_id, g in pdf.groupby("conv_id"):
+        times = _oracle_times(g)
+        total = dur_pd.loc[conv_id, "duration_ms"] * 1e-3
+        exp = ok.timing_stats(times, total)
+        row = got.loc[conv_id]
+        for f in TIMING_FEATS:
+            assert np.allclose(row[f], exp[f], equal_nan=True), (
+                f"{conv_id} {f}: spark={row[f]} oracle={exp[f]}"
+            )
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_timing_empty_word_lists(spark, segments):
+    # turns with empty text produce empty word_timing: silences/words NaN
+    # bundles but segment stats still real
+    import pyspark.sql.functions as F
+
+    empties = segments.filter(F.size("word_timing") == 0)
+    assert empties.count() > 0  # synth guarantees some empty turns
+    one_conv = empties.select("conv_id").limit(1).collect()[0][0]
+    sub = segments.filter(
+        (F.col("conv_id") == one_conv) & (F.size("word_timing") == 0)
+    )
+    row = timing_stats(sub, level="conv").collect()[0]
+    assert np.isnan(row["words_mean"])
+    assert row["word_count"] == 0.0
+    assert row["segment_count"] >= 1.0
+
+
+def test_confidence_parity(spark, segments):
+    got = confidence_stats(segments, level="conv").toPandas().set_index("conv_id")
+    pdf = segments.toPandas()
+    for conv_id, g in pdf.groupby("conv_id"):
+        exp = ok.conf_stats(list(g["confidence"]))
+        row = got.loc[conv_id]
+        for f in ("conf_max", "conf_mean", "conf_std", "conf_min", "conf_med"):
+            assert np.allclose(row[f], exp[f], equal_nan=True)
