@@ -1,38 +1,648 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 (or a
+training-pipeline extension) run over the driver testdata; ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL. Column names and types are aligned on
+both sides; float aggregates are rounded to stabilize value hashing;
+timestamps are emitted as epoch microseconds (bigint).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF1 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet stores ts as TIMESTAMP_NTZ; the engine works in session-TZ
+    # (UTC) timestamps, and unix_micros requires TIMESTAMP.
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> canonical transcripts shape (user≈conv, event≈turn)."""
+    return _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str, group_col: str) -> DataFrame:
+    """documents -> transcripts shape: one group per ``group_col`` value,
+    docs ordered by doc_id within the group."""
+    return _docs(spark, sf_dir).select(
+        F.col(group_col).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_millis(F.col("doc_id") * 1000).alias("ts"),
+    )
+
+
+def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+    return df
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_verbosity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.turn_stats import verbosity_stats
+
+    t = _docs_as_transcripts(spark, sf_dir, "source")
+    out = verbosity_stats(t, level="conv").withColumnRenamed("conv_id", "source")
+    return _r6(
+        out,
+        [
+            "wc_mean", "wc_median", "wc_stdev", "wc_min", "wc_max",
+            "total_count", "lw_count", "word_len",
+            "syll_mean", "syll_median", "syll_stdev", "syll_min", "syll_max",
+        ],
+    )
+
+
+def q_lexdiv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.lexdiv import lexdiv_stats
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"),
+        F.timestamp_millis(F.lit(0)).alias("ts"),
+    )
+    out = lexdiv_stats(d, level="conv").select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "MATTR_10", "MATTR_25", "MATTR_50", "HS",
+    )
+    return _r6(out, ["MATTR_10", "MATTR_25", "MATTR_50", "HS"])
+
+
+def q_nonverbal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.nonverbal import nonverbal_stats
+
+    t = _docs_as_transcripts(spark, sf_dir, "lang")
+    out = nonverbal_stats(t, level="conv").withColumnRenamed("conv_id", "lang")
+    return _r6(out, ["laughter", "noise", "unk"])
+
+
+def q_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.textquality import with_token_counts
+
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_tokens_bpe"
+    )
+
+
+def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.textquality import with_lang_id
+
+    return with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.textquality import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint_md5")
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.6, max_shingle_df=None
+    )
+    return _r6(out, ["jaccard"])
+
+
+def q_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.8)
+    return _r6(out, ["jaccard"])
+
+
+def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        right,
+        on="user_id",
+        value_cols=["pval"],
+    )
+    return out.select(
+        "event_id",
+        F.round("pval_asof", 6).alias("purchase_value"),
+        F.unix_micros("ts_asof").alias("purchase_ts_us"),
+    )
+
+
+def q_asof_purchase_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.asof import asof_join_broadcast
+
+    e = _events(spark, sf_dir)
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join_broadcast(
+        e.select("event_id", "user_id", "ts"),
+        right,
+        on="user_id",
+        value_cols=["pval"],
+    )
+    return out.select(
+        "event_id",
+        F.round("pval_asof", 6).alias("purchase_value"),
+        F.unix_micros("ts_asof").alias("purchase_ts_us"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.sessionize import session_bounds
+
+    t = _events_as_transcripts(spark, sf_dir)
+    out = session_bounds(t, gap_seconds=3600.0)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "session_id",
+        F.col("n_turns").alias("n_events"),
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+
+
+def q_latency_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.windows import latency_stats
+
+    t = _events_as_transcripts(spark, sf_dir)
+    out = latency_stats(t, level="conv")
+    out = out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "gap_max", "gap_min", "gap_mean", "gap_med", "gap_std", "gap_count",
+    )
+    return _r6(out, ["gap_max", "gap_min", "gap_mean", "gap_med", "gap_std"])
+
+
+def q_rolling_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    out = e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("roll_cnt_1h"),
+        F.round(F.avg("value").over(w), 6).alias("roll_val_avg_1h"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .alias("roll_purchases_1h"),
+    )
+    return out
+
+
+def q_backfill_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.backfill import backfill
+
+    t = _events_as_transcripts(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("role") == "purchase", F.col("value"))
+    )
+    out = backfill(t, ["pv"], partition_cols=["conv_id"], order_cols=["ts", "turn_idx"])
+    return out.select(
+        "event_id", F.round("pv_filled", 6).alias("last_purchase_value")
+    )
+
+
+def q_role_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.windows import role_transition_counts
+
+    t = _events_as_transcripts(spark, sf_dir)
+    out = role_transition_counts(t, level="conv")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.col("role_transition").alias("transition"),
+        "n_transitions",
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = cosine_topk(emb, [float(x) for x in qvec], k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.similarity import knn_join_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as q_id", "embedding"
+    )
+    out = knn_join_exact(emb, queries, k=5)
+    return out.select("q_id", "vec_id", "rank")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = lsh_topk(emb, [float(x) for x in qvec], k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time feature matrix over events-as-transcripts at
+    sf0.001 — sessionized, rolling windows, backfilled purchase value, and
+    as-of joined session summary, one row per event."""
+    from feature_extraction_spark.ops.backfill import backfill
+    from feature_extraction_spark.ops.sessionize import sessionize
+    from feature_extraction_spark.ops.windows import (
+        rolling_turn_features,
+        with_role_transition,
+    )
+
+    t = _events_as_transcripts(spark, SF1)
+    t = sessionize(t, gap_seconds=3600.0)
+    t = with_role_transition(t)
+    t = rolling_turn_features(t, trailing_seconds=3600, trailing_rows=10)
+    t = t.withColumn("pv", F.when(F.col("role") == "purchase", F.col("value")))
+    t = backfill(t, ["pv"])
+    return t.select(
+        "conv_id", "turn_idx", "ts", "role", "session_id", "role_transition",
+        "gap_s", "roll_turns_3600s", "roll_tool_rate_3600s",
+        "roll_wc_mean_10", "pv_filled",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "verbosity_docs": q_verbosity_docs,
+        "lexdiv_docs": q_lexdiv_docs,
+        "nonverbal_docs": q_nonverbal_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "langid_docs": q_langid_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "jaccard_pairs_docs": q_jaccard_pairs_docs,
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
+        "asof_purchase": q_asof_purchase,
+        "asof_purchase_broadcast": q_asof_purchase_broadcast,
+        "sessionize_events": q_sessionize_events,
+        "latency_stats_events": q_latency_stats_events,
+        "rolling_events_1h": q_rolling_events_1h,
+        "backfill_purchase": q_backfill_purchase,
+        "role_transitions_events": q_role_transitions_events,
+        "tpch_q1": q_tpch_q1,
+        "cosine_topk": q_cosine_topk,
+        "knn_join": q_knn_join,
+        "lsh_topk": q_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_SYLL = (
+    "case when length({w})=0 then 0 "
+    "when len(regexp_extract_all(lower({w}),'[aeiouy]+'))=0 then 1 "
+    "else len(regexp_extract_all(lower({w}),'[aeiouy]+')) end"
+)
+
+_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+_SHINGLES3 = (
+    "list_distinct(case when len({w}) >= 3 then "
+    "list_transform(generate_series(1, len({w})-2), i -> array_to_string({w}[i:i+2],' ')) "
+    "else [array_to_string({w},' ')] end)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    verbosity = f"""
+WITH per_doc AS (
+  SELECT source, str_split(text, ' ') AS words FROM documents
+), turn AS (
+  SELECT source,
+         len(words) AS wc,
+         list_sum(list_transform(words, w -> length(w))) AS len_sum,
+         len(list_filter(words, w -> length(w) > 6)) AS long_ct
+  FROM per_doc
+), turn_agg AS (
+  SELECT source,
+         round(avg(wc), 6) AS wc_mean,
+         round(median(wc)::double, 6) AS wc_median,
+         round(stddev_pop(wc), 6) AS wc_stdev,
+         round(min(wc)::double, 6) AS wc_min,
+         round(max(wc)::double, 6) AS wc_max,
+         round(sum(wc)::double, 6) AS total_count,
+         round(sum(long_ct)::double / sum(wc), 6) AS lw_count,
+         round(sum(len_sum)::double / sum(wc), 6) AS word_len
+  FROM turn GROUP BY source
+), word AS (
+  SELECT source, {_SYLL.format(w='w')} AS syll
+  FROM (SELECT source, unnest(words) AS w FROM per_doc)
+), word_agg AS (
+  SELECT source,
+         round(avg(syll), 6) AS syll_mean,
+         round(median(syll)::double, 6) AS syll_median,
+         round(stddev_pop(syll), 6) AS syll_stdev,
+         round(min(syll)::double, 6) AS syll_min,
+         round(max(syll)::double, 6) AS syll_max
+  FROM word GROUP BY source
+)
+SELECT * FROM turn_agg JOIN word_agg USING (source)
+"""
+
+    lexdiv = """
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS words, len(str_split(text,' ')) AS n
+  FROM documents
+), m AS (
+  SELECT doc_id, n, words,
+    round(CASE WHEN n >= 10 THEN list_avg(list_transform(generate_series(1, n-9),  i -> len(list_distinct(words[i:i+9]))/10.0))
+         ELSE len(list_distinct(words))/(n*1.0) END, 6) AS MATTR_10,
+    round(CASE WHEN n >= 25 THEN list_avg(list_transform(generate_series(1, n-24), i -> len(list_distinct(words[i:i+24]))/25.0))
+         ELSE len(list_distinct(words))/(n*1.0) END, 6) AS MATTR_25,
+    round(CASE WHEN n >= 50 THEN list_avg(list_transform(generate_series(1, n-49), i -> len(list_distinct(words[i:i+49]))/50.0))
+         ELSE len(list_distinct(words))/(n*1.0) END, 6) AS MATTR_50
+  FROM d
+), counts AS (
+  SELECT doc_id, count(*) AS v, sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1, sum(c) AS n
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(words) AS w FROM d) GROUP BY doc_id, w)
+  GROUP BY doc_id
+)
+SELECT m.doc_id, MATTR_10, MATTR_25, MATTR_50,
+       round(100 * ln(counts.n / (1 - v1 / (v + 1e-5))), 6) AS HS
+FROM m JOIN counts ON m.doc_id = counts.doc_id
+"""
+
+    nonverbal = """
+WITH per_doc AS (
+  SELECT lang, str_split(trim(text), ' ') AS toks FROM documents
+), agg AS (
+  SELECT lang, sum(len(toks)) AS total,
+         sum(len(list_filter(toks, t -> t = '[laughter]'))) AS c_laughter,
+         sum(len(list_filter(toks, t -> t = '[noise]'))) AS c_noise,
+         sum(len(list_filter(toks, t -> t = '<unk>'))) AS c_unk
+  FROM per_doc GROUP BY lang
+)
+SELECT lang,
+       round(c_laughter::double / total, 6) AS laughter,
+       round(c_noise::double / total, 6) AS noise,
+       round(c_unk::double / total, 6) AS unk
+FROM agg
+"""
+
+    token_counts = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> length(w) > 0)) AS n_words,
+  len(regexp_extract_all(text, $re$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+$re$)) AS n_tokens_bpe
+FROM documents
+"""
+
+    _sw = {
+        "en": "'the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','this','have','be'",
+        "es": "'el','la','de','que','y','en','un','una','es','se','no','los','las','por','con','para','como','su'",
+        "fr": "'le','la','de','et','un','une','est','que','les','des','en','du','il','elle','pour','dans','ce','pas'",
+        "de": "'der','die','das','und','ist','ein','eine','zu','den','von','mit','nicht','sich','auf','es','ich','auch'",
+    }
+    langid = rf"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0) AS words
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    len(list_filter(words, x -> x IN ({_sw['en']}))) AS h_en,
+    len(list_filter(words, x -> x IN ({_sw['es']}))) AS h_es,
+    len(list_filter(words, x -> x IN ({_sw['fr']}))) AS h_fr,
+    len(list_filter(words, x -> x IN ({_sw['de']}))) AS h_de
+  FROM w
+), g AS (
+  SELECT doc_id, list_aggregate([
+      {{'hits': h_en, 'lang': 'en'}}, {{'hits': h_es, 'lang': 'es'}},
+      {{'hits': h_fr, 'lang': 'fr'}}, {{'hits': h_de, 'lang': 'de'}}
+    ], 'max') AS best
+  FROM h
+)
+SELECT doc_id, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM g
+"""
+
+    fingerprint = f"""
+SELECT doc_id, md5({_NORM.format(c='text')}) AS fingerprint_md5 FROM documents
+"""
+
+    exact_dedup = f"""
+WITH h AS (SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents)
+SELECT min(doc_id) AS doc_id FROM h GROUP BY fp
+"""
+
+    jaccard_pairs = f"""
+WITH d AS (
+  SELECT doc_id, str_split({_NORM.format(c='text')}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id AS id, unnest({_SHINGLES3.format(w='w')}) AS s FROM d
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(c::double / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE c::double / (sa.sz + sb.sz - c) >= 0.6
+"""
+
+    asof = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pval FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id,
+       round(p.pval, 6) AS purchase_value,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+    sessionize = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id::int AS session_id, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+FROM s GROUP BY user_id, session_id
+"""
+
+    latency = """
+WITH g AS (
+  SELECT user_id,
+    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+      / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT user_id,
+  round(max(gap_s), 6) AS gap_max, round(min(gap_s), 6) AS gap_min,
+  round(avg(gap_s), 6) AS gap_mean, round(median(gap_s)::double, 6) AS gap_med,
+  round(stddev_pop(gap_s), 6) AS gap_std, count(gap_s)::double AS gap_count
+FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+"""
+
+    rolling = """
+SELECT event_id,
+  count(*) OVER w AS roll_cnt_1h,
+  round(avg(value) OVER w, 6) AS roll_val_avg_1h,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS roll_purchases_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+    backfill = """
+SELECT event_id,
+  round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_purchase_value
+FROM events
+"""
+
+    transitions = """
+WITH t AS (
+  SELECT user_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+    event_type AS cur
+  FROM events
+)
+SELECT user_id, prev || '->' || cur AS transition, count(*) AS n_transitions
+FROM t WHERE prev IS NOT NULL GROUP BY user_id, prev, cur
+"""
+
+    tpch_q1 = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 3) AS sum_qty,
+  round(sum(l_extendedprice), 3) AS sum_base_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    cosine_topk = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+    knn = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
+"""
+
+    return {
+        "verbosity_docs": verbosity,
+        "lexdiv_docs": lexdiv,
+        "nonverbal_docs": nonverbal,
+        "token_counts_docs": token_counts,
+        "langid_docs": langid,
+        "fingerprint_docs": fingerprint,
+        "exact_dedup_docs": exact_dedup,
+        "jaccard_pairs_docs": jaccard_pairs,
+        "asof_purchase": asof,
+        "asof_purchase_broadcast": asof,
+        "sessionize_events": sessionize,
+        "latency_stats_events": latency,
+        "rolling_events_1h": rolling,
+        "backfill_purchase": backfill,
+        "role_transitions_events": transitions,
+        "tpch_q1": tpch_q1,
+        "cosine_topk": cosine_topk,
+        "knn_join": knn,
+        # minhash_pairs_docs / simhash_pairs_docs / lsh_topk: rows-only
+        # (hash-seeded approximate ops, not SQL-expressible in DuckDB).
+    }

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Runs (1) the flagship point-in-time transcript feature pipeline over a
+deterministic synthetic transcripts table sized from the SF directory, and
+(2) the headline driver queries over $SPARK_GRAFT_SF_DIR, on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The transcripts table is generated once per (sf, seed) into /tmp and reused;
+generation time is excluded from the pipeline metric (the pipeline is the
+product; the generator is test scaffolding).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+# conversations per sf: calibrated so sf0.1 yields ~600k turns
+# (mean turns/conv ~4.2 under the truncated-Pareto size distribution)
+_N_CONVS = {"sf0.001": 1_500, "sf0.01": 15_000, "sf0.1": 150_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def _force(df) -> int:
+    """Force full computation; return row count (one job, no driver collect)."""
+    return df.count()
+
+
+def flagship_pipeline(t):
+    """Point-in-time feature matrix: sessionize -> role transitions ->
+    rolling windows -> backfill -> conv-level packs as-of joined back."""
+    import pyspark.sql.functions as F
+
+    from feature_extraction_spark.ops.backfill import backfill
+    from feature_extraction_spark.ops.sessionize import sessionize
+    from feature_extraction_spark.ops.turn_stats import verbosity_stats
+    from feature_extraction_spark.ops.windows import (
+        rolling_turn_features,
+        with_role_transition,
+    )
+
+    x = sessionize(t, gap_seconds=300.0)
+    x = with_role_transition(x)
+    x = rolling_turn_features(x, trailing_seconds=600, trailing_rows=10)
+    x = x.withColumn(
+        "tool_val", F.when(F.col("tool").isNotNull(), F.length("tool").cast("double"))
+    )
+    x = backfill(x, ["tool_val"])
+    conv_feats = verbosity_stats(t, level="conv")
+    return x.join(conv_feats, on="conv_id", how="left")
+
+
+def main() -> None:
+    t_start = time.monotonic()
+    from feature_extraction_spark.session import get_spark
+    from feature_extraction_spark.synth import synth_transcripts
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    sf = _sf_name()
+    n_convs = _N_CONVS.get(sf, 15_000)
+    tpath = f"/tmp/spark_graft_bench/transcripts_{sf}_seed{SEED}"
+    if not os.path.exists(os.path.join(tpath, "_SUCCESS")):
+        synth_transcripts(spark, n_convs=n_convs, seed=SEED).write.mode(
+            "overwrite"
+        ).parquet(tpath)
+    t = spark.read.parquet(tpath)
+    n_turns = t.count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    out_rows = _force(flagship_pipeline(t))
+    pipeline_sec = time.monotonic() - t0
+    timings["flagship_pipeline"] = round(pipeline_sec, 3)
+
+    # headline driver queries over the SF dir
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    headline = [
+        "verbosity_docs", "lexdiv_docs", "asof_purchase", "sessionize_events",
+        "rolling_events_1h", "backfill_purchase", "latency_stats_events",
+        "tpch_q1", "exact_dedup_docs", "jaccard_pairs_docs",
+        "minhash_pairs_docs", "cosine_topk",
+    ]
+    for name in headline:
+        q0 = time.monotonic()
+        _force(queries[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - q0, 3)
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_turns": n_turns,
+                "pipeline_rows": out_rows,
+                "turns_per_sec": round(n_turns / pipeline_sec, 1),
+                "cpus": CPUS,
+                "wall_total_sec": round(time.monotonic() - t_start, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

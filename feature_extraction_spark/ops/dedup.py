@@ -1,0 +1,275 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact_dedup: hash-groupBy on normalized text (one shuffle, keeps the
+  smallest id per group — deterministic winner).
+- ngram_jaccard_pairs: EXACT near-dup pairs via an inverted shingle index
+  (explode -> self-join on shingle -> count common -> Jaccard threshold).
+  The join key is the shingle, so only docs sharing a shingle ever meet —
+  no O(n²) cross join. Hot shingles are capped (df-style stop-shingle
+  filter) to bound skew at scale.
+- minhash_lsh_candidates / minhash_lsh_dedup: MinHash signatures (k
+  independent xxhash64 salts) banded into b bands; docs colliding in any
+  band become candidates, then exact Jaccard verification. Scale path:
+  band buckets shuffle-join instead of all-pairs.
+- simhash_pairs: 64-bit SimHash over token hashes; near-dups = pairs with
+  Hamming distance <= d, found by banding the 64 bits into chunks (pigeonhole:
+  any pair within distance d shares at least one of d+1 chunks exactly).
+
+All deterministic (seeded hash salts), all DataFrame-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.ops.textquality import normalized_text_expr
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingles of the normalized text (distinct)."""
+    words = F.split(normalized_text_expr(F.col(text_col)), " ", -1)
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i, n)
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))  # short doc -> whole text
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row per distinct normalized text: the minimum id wins."""
+    norm = normalized_text_expr(F.col(text_col))
+    with_h = df.withColumn("_fp", F.md5(norm))
+    keep = with_h.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_h.join(keep, on=["_fp", id_col], how="left_semi").drop("_fp")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact near-duplicate pairs (id_a < id_b, jaccard >= threshold) via an
+    inverted shingle index. ``max_shingle_df`` drops shingles appearing in
+    more than that many docs (stop-shingles: they explode the candidate set
+    and cannot be decisive for high thresholds at scale)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") > max_shingle_df
+        )
+        sh = sh.join(hot.select("sh"), on="sh", how="left_anti")
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    pairs = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) minhash signatures.
+
+    Shingles are exploded ONCE and the k minima run as one hash aggregation
+    (map-side combinable). The naive form — k array-transforms over the
+    shingle expression — recomputes normalization+shingling per hash and is
+    ~20x slower; Catalyst's projection collapse cannot CSE it away."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, shingle_n)).alias("sh")
+    )
+    return tok.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i), F.lit(seed))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs whose signatures collide in >=1 band.
+    rows_per_band = num_hashes / bands; collision prob ~ s^(rows) per band."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    band_buckets = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]),
+            F.lit(seed),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id",
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard over shingles; returns
+    confirmed pairs (id_a, id_b, jaccard)."""
+    n = lsh_kwargs.get("shingle_n", 3)
+    cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("shset")
+    )
+    out = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shset": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def with_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash of the normalized word set per document: for each bit,
+    sum +/-1 votes over token hashes; bit set iff the sum is positive.
+
+    Implemented as explode -> one hash aggregation with 64 unrolled
+    sum(+/-1) columns (map-side combinable, one shuffle keyed by doc id) —
+    no nested array folds, scales to arbitrarily long documents."""
+    words = F.array_distinct(
+        F.filter(
+            F.split(normalized_text_expr(F.col(text_col)), " ", -1),
+            lambda w: F.length(w) > 0,
+        )
+    )
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    h = F.xxhash64(F.col("w"), F.lit(seed))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sigs = votes.select(F.col("id"), sim.alias(out_col))
+    # docs with no words get simhash 0
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sigs, on="id", how="left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    (max_hamming+1)-chunk banding (pigeonhole) to avoid all-pairs."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sim = with_simhash(df, id_col, text_col, seed).withColumnRenamed("simhash", "sim")
+    banded = sim.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), c * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,128 @@
+"""Text-analysis ops for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All JVM-native expressions (regex + array algebra) — these run over every
+document at 100 TB scale, so no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.functions.text import nan_guard_div
+
+# BPE-ish pre-tokenization regex (public GPT-2 pattern family): word pieces,
+# numbers, punctuation runs, whitespace-prefixed words.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "was", "for", "on", "are", "with", "as", "this", "have", "be"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "se",
+           "no", "los", "las", "por", "con", "para", "como", "su"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "les", "des",
+           "en", "du", "il", "elle", "pour", "dans", "ce", "pas"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den",
+           "von", "mit", "nicht", "sich", "auf", "es", "ich", "auch"],
+}
+
+
+def _words(col: Column) -> Column:
+    """Whitespace words, empties removed (analysis tokenization — distinct
+    from the parity tokenizer in functions/text.py)."""
+    return F.filter(F.split(F.lower(col), r"\s+", -1), lambda w: F.length(w) > 0)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_words (whitespace) and n_tokens_bpe (BPE-ish regex pieces)."""
+    c = F.col(text_col)
+    return df.withColumn(
+        "n_words", F.size(_words(c))
+    ).withColumn(
+        "n_tokens_bpe", F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length, mean word length, punctuation ratio, stopword(en) ratio,
+    uppercase ratio, repetition (distinct/total words)."""
+    c = F.col(text_col)
+    words = _words(c)
+    n_chars = F.length(c)
+    n_words = F.size(words)
+    mean_wlen = nan_guard_div(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double"),
+        n_words,
+    )
+    punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_ratio = nan_guard_div(
+        F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("double"),
+        n_words,
+    )
+    distinct_ratio = nan_guard_div(
+        F.size(F.array_distinct(words)).cast("double"), n_words
+    )
+    df = (
+        df.withColumn("q_n_chars", n_chars.cast("double"))
+        .withColumn("q_n_words", n_words.cast("double"))
+        .withColumn("q_mean_word_len", mean_wlen)
+        .withColumn("q_punct_ratio", nan_guard_div(punct.cast("double"), n_chars))
+        .withColumn("q_upper_ratio", nan_guard_div(upper.cast("double"), n_chars))
+        .withColumn("q_stopword_ratio", stop_ratio)
+        .withColumn("q_distinct_ratio", distinct_ratio)
+    )
+    # composite: reward stopword presence and moderate word length; punish
+    # punctuation/upper spam and heavy repetition. Clamped to [0,1].
+    score = (
+        F.lit(0.25) * F.least(F.col("q_stopword_ratio") * 3, F.lit(1.0))
+        + F.lit(0.25) * F.least(F.col("q_distinct_ratio") * 1.25, F.lit(1.0))
+        + F.lit(0.25)
+        * (F.lit(1.0) - F.least(F.col("q_punct_ratio") * 4, F.lit(1.0)))
+        + F.lit(0.25)
+        * F.when((F.col("q_mean_word_len") >= 3) & (F.col("q_mean_word_len") <= 10), 1.0)
+        .otherwise(0.0)
+    )
+    return df.withColumn("q_score", F.coalesce(score, F.lit(0.0)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-list language ID over {en,es,fr,de}: argmax of per-language
+    stopword hit counts; 'und' (undetermined) when no hits."""
+    words = _words(F.col(text_col))
+
+    def hits_for(sws: list[str]):
+        arr = F.array(*[F.lit(w) for w in sws])
+        # single-parameter lambda: a defaulted 2nd param would be parsed as
+        # the array index by Spark's HOF machinery
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = [
+        F.struct(hits_for(sws).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, sws in _STOPWORDS.items()
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def normalized_text_expr(col: Column) -> Column:
+    """Dedup normalization: lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (portable across engines), plus a 64-bit xxhash for joins."""
+    norm = normalized_text_expr(F.col(text_col))
+    return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
+        "fingerprint_64", F.xxhash64(norm)
+    )

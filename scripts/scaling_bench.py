@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Two-cluster-size scaling protocol (BASELINE.md): run the SAME flagship
+pipeline on the SAME input at local[8] (proxy for N executors) and local[32]
+(proxy for 4N), report throughput at both + scaling efficiency, and verify
+the output feature matrix hashes identically across parallelism levels.
+
+Each level runs in its own subprocess (fresh JVM) so thread pools, shuffle
+partitions, and memory fractions are honest per level. Writes
+BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage: python scripts/scaling_bench.py [n_convs] [seed]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+cores = int(sys.argv[1]); tpath = sys.argv[2]
+sys.path.insert(0, {repo!r})
+from feature_extraction_spark.session import get_spark
+from bench import flagship_pipeline
+spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
+t = spark.read.parquet(tpath)
+n_turns = t.count()
+t0 = time.monotonic()
+out = flagship_pipeline(t)
+import pyspark.sql.functions as F
+# content hash + count in one action: order-insensitive xor/sum of row hashes
+agg = out.select(
+    F.sum(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                       for c in sorted(out.columns)])).alias("h"),
+    F.count(F.lit(1)).alias("n"),
+).collect()[0]
+wall = time.monotonic() - t0
+print(json.dumps({"cores": cores, "wall_s": wall, "rows": int(agg["n"]),
+                  "hash": int(agg["h"]), "n_turns": n_turns,
+                  "turns_per_sec": n_turns / wall}))
+"""
+
+
+def run_level(cores: int, tpath: str) -> dict:
+    script = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), tpath],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"level local[{cores}] failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    tpath = f"/tmp/spark_graft_bench/transcripts_scaling_{n_convs}_seed{seed}"
+
+    if not os.path.exists(os.path.join(tpath, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r});"
+            "from feature_extraction_spark.session import get_spark;"
+            "from feature_extraction_spark.synth import synth_transcripts;"
+            "spark = get_spark('gen', cores=32, shuffle_partitions=32);"
+            "synth_transcripts(spark, n_convs={n}, seed={s})"
+            ".write.mode('overwrite').parquet({p!r})"
+        ).format(repo=REPO, n=n_convs, s=seed, p=tpath)
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
+
+    r8 = run_level(8, tpath)
+    r32 = run_level(32, tpath)
+    assert r8["hash"] == r32["hash"] and r8["rows"] == r32["rows"], (
+        "output differs across parallelism levels!"
+    )
+    eff = (r8["wall_s"] / r32["wall_s"]) / 4.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    result = {
+        "n_turns": r8["n_turns"],
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "output_hash_identical": True,
+        "seed": seed,
+        "n_convs": n_convs,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    md = f"""# BENCH/BASELINE — measured numbers
+
+## Two-parallelism scaling (N -> 4N proxy, BASELINE.md protocol)
+
+Flagship point-in-time pipeline (sessionize + role transitions + rolling
+windows + backfill + conv-level verbosity join) over the deterministic
+synthetic transcripts table (seed={seed}, n_convs={n_convs},
+{r8['n_turns']:,} turns), identical input at both levels.
+
+| level | wall (s) | turns/sec |
+|---|---|---|
+| local[8]  (N)  | {r8['wall_s']:.2f} | {r8['turns_per_sec']:,.0f} |
+| local[32] (4N) | {r32['wall_s']:.2f} | {r32['turns_per_sec']:,.0f} |
+
+scaling_efficiency = (T_8 / T_32) / 4 = **{eff:.3f}** (target >= 0.8)
+
+Output feature matrix: row count and order-insensitive xxhash64 content hash
+**identical** across both levels ({r8['rows']:,} rows).
+
+Confs: AQE on (coalescePartitions, skewJoin), shuffle.partitions = cores,
+Arrow batch 10k, UTC session TZ. Single-machine local mode — shuffles are
+in-process; on a real 4N-executor cluster the same plan shapes apply with
+network exchange (partitioning by conv_id, broadcast dims, map-side partial
+aggregation).
+
+## Reference comparison
+
+The reference publishes no numbers (BASELINE.md); its envelope is
+single-core pandas with O(n^2) kernels. This engine's single-node
+throughput above is the baseline-to-beat for future rounds.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

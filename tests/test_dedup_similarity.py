@@ -1,0 +1,171 @@
+"""Dedup / similarity / text-quality ops over the driver testdata
+(documents + embeddings at sf0.001), checked against numpy/pandas oracles."""
+
+import numpy as np
+import pytest
+
+from feature_extraction_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from feature_extraction_spark.ops.similarity import cosine_topk, knn_join_exact, lsh_topk
+from feature_extraction_spark.ops.textquality import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def _norm_py(s):
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+
+def _shingles_py(s, n=3):
+    ws = _norm_py(s).split(" ")
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).toPandas()
+    pdf = docs.toPandas()
+    pdf["fp"] = pdf["text"].map(_norm_py)
+    exp = pdf.loc[pdf.groupby("fp")["doc_id"].idxmin()]
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_ngram_jaccard_pairs_exact(docs):
+    got = ngram_jaccard_pairs(docs, threshold=0.6).toPandas()
+    pdf = docs.toPandas()
+    sh = {r.doc_id: _shingles_py(r.text) for r in pdf.itertuples()}
+    ids = sorted(sh)
+    exp = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / len(sh[a] | sh[b])
+            if j >= 0.6:
+                exp.append((a, b, j))
+    got_set = {(r.id_a, r.id_b) for r in got.itertuples()}
+    exp_set = {(a, b) for a, b, _ in exp}
+    assert got_set == exp_set
+    for a, b, j in exp:
+        gj = got[(got.id_a == a) & (got.id_b == b)]["jaccard"].iloc[0]
+        assert np.allclose(gj, j)
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH with 64 hashes / 16 bands must find all pairs with true J>=0.8
+    on this small corpus, and every returned pair is verified exact."""
+    got = minhash_lsh_dedup(docs, threshold=0.8).toPandas()
+    exact = ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    got_set = {(r.id_a, r.id_b) for r in got.itertuples()}
+    exp_set = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    # verified-LSH output must be a subset of the exact pairs; recall high
+    assert got_set.issubset(exp_set)
+    if exp_set:
+        assert len(got_set) / len(exp_set) >= 0.9
+
+
+def test_simhash_pairs_runs(docs):
+    out = simhash_pairs(docs, max_hamming=3).toPandas()
+    # simhash of identical normalized text is identical -> exact dupes at
+    # hamming 0 must all be found
+    pdf = docs.toPandas()
+    pdf["fp"] = pdf["text"].map(_norm_py)
+    dupe_groups = pdf.groupby("fp")["doc_id"].apply(list)
+    exp_zero = set()
+    for ids in dupe_groups:
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                exp_zero.add((a, b))
+    got_set = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert exp_zero.issubset(got_set)
+
+
+def test_cosine_topk_exact(embs):
+    pdf = embs.toPandas()
+    mat = np.stack(pdf["embedding"].values).astype(np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].values, -sims))
+    exp = pdf["vec_id"].values[order[:10]]
+    got = cosine_topk(embs, list(q), k=10).toPandas()
+    assert list(got["vec_id"]) == list(exp)
+    assert np.allclose(sorted(got["cosine"], reverse=True), sorted(sims[order[:10]], reverse=True))
+
+
+def test_lsh_topk_contains_self(embs):
+    pdf = embs.toPandas()
+    q = list(np.asarray(pdf["embedding"].iloc[0], dtype=float))
+    got = lsh_topk(embs, q, k=5).toPandas()
+    # the query vector itself is in the table -> must be its own bucket match
+    assert pdf["vec_id"].iloc[0] in set(got["vec_id"])
+    assert np.allclose(got["cosine"].max(), 1.0)
+
+
+def test_knn_join_exact(embs):
+    queries = embs.limit(3).selectExpr("vec_id as q_id", "embedding")
+    got = knn_join_exact(embs, queries, k=4).toPandas()
+    assert set(got.groupby("q_id").size()) == {4}
+    # self is always rank 1 with cosine ~1
+    self_rows = got[got["q_id"] == got["vec_id"]]
+    assert (self_rows["rank"] == 1).all()
+
+
+def test_token_counts_and_quality(docs):
+    out = with_quality_score(with_token_counts(docs)).toPandas()
+    pdf = docs.toPandas()
+    exp_words = pdf["text"].map(lambda s: len([w for w in s.lower().split() if w]))
+    assert (out.sort_values("doc_id")["n_words"].values
+            == exp_words[pdf.sort_values("doc_id").index].values).all()
+    assert out["q_score"].between(0, 1).all()
+    assert (out["n_tokens_bpe"] >= out["n_words"]).all()
+
+
+def test_lang_id_semantics(spark):
+    # NB: testdata documents carry a random `lang` label over English-like
+    # tokens, so label accuracy is meaningless there (the langid_docs DuckDB
+    # oracle already pins the op's values). Check real sentences instead.
+    rows = [
+        (1, "the cat is on the table and it is happy", "en"),
+        (2, "el gato es un animal y la casa es grande", "es"),
+        (3, "le chat est dans la maison et il est pour les enfants", "fr"),
+        (4, "der hund ist ein tier und das haus ist nicht zu klein", "de"),
+        (5, "zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, expected string")
+    out = with_lang_id(df).toPandas().set_index("doc_id")
+    for doc_id, _, expected in rows:
+        assert out.loc[doc_id, "lang_pred"] == expected
+
+
+def test_fingerprint_stable(docs):
+    a = with_fingerprint(docs).select("doc_id", "fingerprint_md5").toPandas()
+    b = with_fingerprint(docs).select("doc_id", "fingerprint_md5").toPandas()
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))

@@ -1,0 +1,78 @@
+"""Mimic the driver's t2 gate: run every __spark_entry__.queries() entry and
+its DuckDB oracle_sql() twin at sf0.001, compare row count, schema (sorted
+column names), and values (rows sorted, floats to 1e-6)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # decimals and other exotics -> float where possible
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    sort_cols = list(df.columns)
+    df = df.sort_values(sort_cols, na_position="first").reset_index(drop=True)
+    return df
+
+
+def _compare(name, got: pd.DataFrame, exp: pd.DataFrame):
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    g, e = _normalize(got), _normalize(exp)
+    for c in g.columns:
+        gv, ev = g[c].values, e[c].values
+        if np.issubdtype(np.asarray(gv).dtype, np.floating) or np.issubdtype(
+            np.asarray(ev).dtype, np.floating
+        ):
+            assert np.allclose(
+                gv.astype(float), ev.astype(float), equal_nan=True, atol=1e-6
+            ), f"{name}.{c}: value mismatch"
+        else:
+            assert (pd.Series(gv).fillna("<null>") == pd.Series(ev).fillna("<null>")).all(), (
+                f"{name}.{c}: value mismatch"
+            )
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_against_oracle(spark, con, name):
+    got = QUERIES[name](spark, SF).toPandas()
+    if name not in ORACLES:
+        assert len(got) >= 0  # rows-only check
+        return
+    exp = con.execute(ORACLES[name]).df()
+    _compare(name, got, exp)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 5
+    assert not math.isnan(float(df.count()))
