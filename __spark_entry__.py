@@ -266,6 +266,14 @@ def q_role_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pos_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.pos import POS_KEYS, pos_features
+
+    t = _docs_as_transcripts(spark, sf_dir, "source")
+    out = pos_features(t, level="conv").withColumnRenamed("conv_id", "source")
+    return _r6(out, POS_KEYS + ["adj_ratio", "v_ratio", "n_ratio", "pn_ratio", "sc_ratio"])
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = (
@@ -354,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events_1h": q_rolling_events_1h,
         "backfill_purchase": q_backfill_purchase,
         "role_transitions_events": q_role_transitions_events,
+        "pos_docs": q_pos_docs,
         "tpch_q1": q_tpch_q1,
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
@@ -376,6 +385,85 @@ _SHINGLES3 = (
     "list_transform(generate_series(1, len({w})-2), i -> array_to_string({w}[i:i+2],' ')) "
     "else [array_to_string({w},' ')] end)"
 )
+
+
+def _pos_docs_sql() -> str:
+    """DuckDB oracle for pos_docs, GENERATED from the same lexicon constants
+    as the Spark tagger (functions/postag.py) so the two cannot drift."""
+    from feature_extraction_spark.functions import postag as P
+
+    def lst(ws):
+        return ",".join(f"'{w.replace(chr(39), chr(39) * 2)}'" for w in ws)
+
+    tag_case = f"""CASE
+      WHEN lw = '' THEN 'NN'
+      WHEN lw IN ({lst(P.DETERMINERS)}) THEN 'DT'
+      WHEN lw IN ({lst(P.CONJUNCTIONS)}) THEN 'CC'
+      WHEN lw IN ({lst(P.PRONOUNS)}) THEN 'PRP'
+      WHEN lw IN ({lst(P.POSS_PRONOUNS)}) THEN 'PRP$'
+      WHEN lw IN ({lst(P.WH_DET)}) THEN 'WDT'
+      WHEN lw IN ({lst(P.WH_ADV)}) THEN 'WRB'
+      WHEN lw IN ({lst(P.WH_P)}) THEN 'WP'
+      WHEN lw IN ({lst(P.WH_PS)}) THEN 'WP$'
+      WHEN lw IN ({lst(P.INTERJECTIONS)}) THEN 'UH'
+      WHEN lw IN ({lst(P.MODALS)}) THEN 'MD'
+      WHEN lw IN ({lst(P.COMMON_VERBS)}) THEN 'VB'
+      WHEN lw = 'to' THEN 'TO'
+      WHEN lw IN ({lst(P.PREPOSITIONS)}) THEN 'IN'
+      WHEN lw IN ({lst(P.ADVERBS)}) OR lw LIKE '%ly' THEN 'RB'
+      WHEN regexp_matches(lw, '^[0-9]') THEN 'CD'
+      WHEN lw LIKE '%ing' THEN 'VBG'
+      WHEN lw LIKE '%ed' THEN 'VBD'
+      WHEN lw LIKE '%ous' OR lw LIKE '%ful' OR lw LIKE '%able'
+        OR lw LIKE '%ible' OR lw LIKE '%ive' OR lw LIKE '%al'
+        OR lw LIKE '%ic' THEN 'JJ'
+      WHEN regexp_matches(substring(w, 1, 1), '^[A-Z]') THEN 'NNP'
+      ELSE 'NN' END"""
+
+    wp = "(tag LIKE 'W%' AND substring(tag,2,1) NOT IN ('D','R') AND tag LIKE '%P')"
+    wps = "(tag LIKE 'W%' AND substring(tag,2,1) NOT IN ('D','R') AND NOT tag LIKE '%P')"
+    inc = {
+        "ADJ": "tag LIKE 'J%'",
+        "VERB": "tag LIKE 'V%'",
+        "NOUN": f"(tag LIKE 'N%' OR tag = 'PRP' OR tag = 'PRP$' OR {wp})",
+        "ADV": f"(tag LIKE 'R%' OR (tag LIKE 'W%' AND substring(tag,2,1) = 'R'))",
+        "DET": "(tag LIKE 'D%' OR (tag LIKE 'W%' AND substring(tag,2,1) = 'D'))",
+        "INT": "tag LIKE 'U%'",
+        "PREP": "(tag LIKE 'I%' OR tag LIKE 'T%')",
+        "CC": "tag = 'CC'",
+        "PNOUN": f"(tag = 'PRP' OR {wp})",
+        "PSNOUN": f"(tag = 'PRP$' OR {wps})",
+    }
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS c_{k}" for k, cond in inc.items()
+    )
+    props = ",\n  ".join(
+        f"round(c_{k}::double / num_words, 6) AS {k}" for k in inc
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT source, str_split(text, ' ') AS raw FROM documents
+), nw AS (
+  SELECT source, sum(len(raw)) AS num_words FROM per_doc GROUP BY source
+), words AS (
+  SELECT source, w, lower(regexp_replace(lower(w), '[.,!?;:]+$', '')) AS lw
+  FROM (SELECT source, unnest(list_filter(raw, x -> x <> '')) AS w FROM per_doc)
+), tags AS (
+  SELECT source, w, {tag_case} AS tag FROM words
+), counts AS (
+  SELECT source,
+    {sums}
+  FROM tags GROUP BY source
+)
+SELECT counts.source,
+  {props},
+  round(CASE WHEN c_VERB <> 0 THEN c_ADJ::double / c_VERB ELSE 'nan'::double END, 6) AS adj_ratio,
+  round(CASE WHEN c_VERB <> 0 THEN c_NOUN::double / c_VERB ELSE 'nan'::double END, 6) AS v_ratio,
+  round(CASE WHEN c_VERB + c_NOUN <> 0 THEN c_NOUN::double / (c_VERB + c_NOUN) ELSE 'nan'::double END, 6) AS n_ratio,
+  round(CASE WHEN c_NOUN <> 0 THEN c_PNOUN::double / c_NOUN ELSE 'nan'::double END, 6) AS pn_ratio,
+  round(CASE WHEN c_CC <> 0 THEN c_PREP::double / c_CC ELSE 'nan'::double END, 6) AS sc_ratio
+FROM counts JOIN nw ON counts.source = nw.source
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -590,6 +678,8 @@ SELECT user_id, prev || '->' || cur AS transition, count(*) AS n_transitions
 FROM t WHERE prev IS NOT NULL GROUP BY user_id, prev, cur
 """
 
+    pos_docs = _pos_docs_sql()
+
     tpch_q1 = """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 3) AS sum_qty,
@@ -640,6 +730,7 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "rolling_events_1h": rolling,
         "backfill_purchase": backfill,
         "role_transitions_events": transitions,
+        "pos_docs": pos_docs,
         "tpch_q1": tpch_q1,
         "cosine_topk": cosine_topk,
         "knn_join": knn,

@@ -33,8 +33,13 @@ def _sf_name() -> str:
 
 
 def _force(df) -> int:
-    """Force full computation; return row count (one job, no driver collect)."""
-    return df.count()
+    """Force FULL computation of every column via the noop sink.
+
+    NB: ``count()`` is not a forcer — Catalyst elides outer joins and prunes
+    window columns when only the count is needed (a LeftOuter join's count
+    equals the left side's), silently timing a fraction of the plan."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
 
 
 def flagship_pipeline(t):
@@ -80,9 +85,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    pipe = flagship_pipeline(t)
+    _force(pipe)  # warm-up: codegen/JIT, FS cache
     t0 = time.monotonic()
-    out_rows = _force(flagship_pipeline(t))
+    _force(pipe)
     pipeline_sec = time.monotonic() - t0
+    out_rows = n_turns  # left-outer join preserves turn grain
     timings["flagship_pipeline"] = round(pipeline_sec, 3)
 
     # headline driver queries over the SF dir

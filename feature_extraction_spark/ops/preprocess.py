@@ -1,0 +1,65 @@
+"""Text preprocessing ops (reference: archived/preprocess_text.py:7-32 and
+text_features/text_util.py).
+
+- remove_nonverbal_tokens: drop '[noise]'/'[laughter]'/'<unk>' tokens and
+  then rows whose token list emptied (P5).
+- remove_stopwords: array_except against a broadcast stopword list (P8).
+- strip punctuation (keep apostrophes) / lowercase / sentence split (F2-F4);
+  sentence split is a regex approximation of NLTK punkt (punkt unavailable —
+  documented deviation).
+
+All native array/regex expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.functions.text import strip_punct_expr, tokenize_expr
+
+NONVERBAL_TOKENS = ["[noise]", "[laughter]", "<unk>"]
+
+
+def remove_nonverbal_tokens(
+    df: DataFrame, text_col: str = "text", drop_empty: bool = True
+) -> DataFrame:
+    """Remove non-verbal tokens from each turn's text; optionally drop turns
+    that become empty (reference preprocess_text.py:20-32)."""
+    toks = F.filter(
+        tokenize_expr(F.col(text_col)),
+        lambda t: (~t.isin(NONVERBAL_TOKENS)) & (t != ""),
+    )
+    out = df.withColumn(text_col, F.concat_ws(" ", toks))
+    if drop_empty:
+        out = out.filter(F.size(toks) > 0)
+    return out
+
+
+def remove_stopwords(
+    df: DataFrame, stopwords: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Drop stopwords (case-insensitive membership, reference
+    preprocess_text.py:7-17)."""
+    sw = [w.lower() for w in stopwords]
+    toks = F.filter(
+        tokenize_expr(F.col(text_col)),
+        lambda t: (~F.lower(t).isin(sw)) & (t != ""),
+    )
+    return df.withColumn(text_col, F.concat_ws(" ", toks))
+
+
+def sentence_split_expr(col: Column) -> Column:
+    """Sentence boundaries at [.!?]+ followed by whitespace — regex
+    approximation of punkt (text_util.py:96-101, documented deviation)."""
+    return F.filter(
+        F.split(col, r"(?<=[.!?])\s+", -1), lambda s: F.length(F.trim(s)) > 0
+    )
+
+
+def basic_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """text_basic variant: lowercase + punctuation strip keeping apostrophes
+    (reference text_util.py:104-109 + extract_text_features text_basic)."""
+    return df.withColumn(
+        f"{text_col}_basic", F.lower(strip_punct_expr(F.col(text_col)))
+    )

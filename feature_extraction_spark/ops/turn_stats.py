@@ -81,9 +81,14 @@ def verbosity_stats(
     ).drop("_long_total", "_len_total")
 
     # Word-grain aggregation: syllable stats need per-word median/std.
-    word_rows = per_turn.select(*keys, F.explode("words").alias("word"))
-    syll = syllable_count_expr(F.col("word"))
-    word_agg = word_rows.groupBy(*keys).agg(*_stat_bundle(syll, "syll"))
+    # The syllable expression (regex) is projected ONCE per word; putting it
+    # inline in the 5 aggregate functions would re-evaluate the regex 5x per
+    # word (Catalyst does not CSE across aggregate buffers) — measured 8x
+    # slower on the bench table.
+    word_rows = per_turn.select(*keys, F.explode("words").alias("word")).select(
+        *keys, syllable_count_expr(F.col("word")).alias("syll")
+    )
+    word_agg = word_rows.groupBy(*keys).agg(*_stat_bundle(F.col("syll"), "syll"))
 
     out = turn_agg.join(word_agg, on=keys, how="left")
     # Groups whose turns were all absent from word_agg cannot occur (every

@@ -1,0 +1,98 @@
+"""Custom stateful streaming operator: incremental gap-based sessionization
+with ``applyInPandasWithState`` (the sanctioned surface for stateful logic
+the built-in session_window cannot express — e.g. carrying per-session
+running feature state across micro-batches).
+
+State per conv_id: (session_id counter, session_start_us, last_ts_us,
+n_turns, n_tool_turns). Closed sessions are emitted as soon as a turn
+arrives more than ``gap_seconds`` after the previous one, or when the
+event-time timeout fires (watermark passed last_ts + gap).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_tool_turns", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_tool_turns", T.LongType()),
+    ]
+)
+
+
+def stream_sessionize_stateful(
+    turns: DataFrame,
+    gap_seconds: float = 300.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-conversation sessionizer emitting CLOSED sessions with
+    turn/tool counts. Batch equivalent: ops.sessionize.session_bounds."""
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        out = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                sid, start, last, n, ntool = state.get
+                out.append((conv_id, sid, start, last, n, ntool))
+                state.remove()
+            yield pd.DataFrame(out, columns=OUTPUT_SCHEMA.fieldNames())
+            return
+
+        rows = pd.concat(list(pdfs))
+        rows["ts_us"] = rows["ts"].astype("int64") // 1000
+        rows = rows.sort_values(["ts_us", "turn_idx"])
+
+        if state.exists:
+            sid, start, last, n, ntool = state.get
+        else:
+            sid, start, last, n, ntool = 0, None, None, 0, 0
+
+        for r in rows.itertuples():
+            is_tool = 1 if r.tool is not None and not pd.isna(r.tool) else 0
+            if last is None:
+                start, last, n, ntool = r.ts_us, r.ts_us, 1, is_tool
+            elif r.ts_us - last > gap_us:
+                out.append((conv_id, sid, start, last, n, ntool))
+                sid += 1
+                start, last, n, ntool = r.ts_us, r.ts_us, 1, is_tool
+            else:
+                last = r.ts_us
+                n += 1
+                ntool += is_tool
+
+        state.update((sid, start, last, n, ntool))
+        state.setTimeoutTimestamp(last // 1000 + int(gap_seconds * 1000))
+        yield pd.DataFrame(out, columns=OUTPUT_SCHEMA.fieldNames())
+
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

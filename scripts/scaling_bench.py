@@ -23,22 +23,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 cores = int(sys.argv[1]); tpath = sys.argv[2]
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 from feature_extraction_spark.session import get_spark
 from bench import flagship_pipeline
-spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
+spark = get_spark("scaling", cores=cores, shuffle_partitions=cores * 2)
 t = spark.read.parquet(tpath)
 n_turns = t.count()
-t0 = time.monotonic()
 out = flagship_pipeline(t)
+def force(df):
+    # noop sink evaluates EVERY column; count() would let Catalyst elide
+    # the outer join and windows entirely
+    df.write.format("noop").mode("overwrite").save()
+# warm-up pass: JIT/codegen compilation and FS cache, untimed; the timed
+# pass below measures steady-state compute (what a long cluster job sees)
+force(out)
+t0 = time.monotonic()
+force(out)
+wall = time.monotonic() - t0
 import pyspark.sql.functions as F
-# content hash + count in one action: order-insensitive xor/sum of row hashes
+# content hash + count in one action: order-insensitive sum of row hashes.
+# Double columns are rounded to 6 decimals first: float partial-aggregation
+# order differs with partition count, so raw doubles differ in the last ulp
+# between parallelism levels; the correctness contract is allclose-grade
+# (1e-6), which this hash encodes exactly.
+def _h(c, dt):
+    col = F.col(c)
+    if dt in ("double", "float"):
+        col = F.round(col, 6)
+    return F.coalesce(col.cast("string"), F.lit("<null>"))
+cols = sorted((f.name, f.dataType.typeName()) for f in out.schema.fields)
 agg = out.select(
-    F.sum(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-                       for c in sorted(out.columns)])).alias("h"),
+    F.sum(F.xxhash64(*[_h(c, dt) for c, dt in cols])).alias("h"),
     F.count(F.lit(1)).alias("n"),
 ).collect()[0]
-wall = time.monotonic() - t0
 print(json.dumps({"cores": cores, "wall_s": wall, "rows": int(agg["n"]),
                   "hash": int(agg["h"]), "n_turns": n_turns,
                   "turns_per_sec": n_turns / wall}))
@@ -46,7 +63,7 @@ print(json.dumps({"cores": cores, "wall_s": wall, "rows": int(agg["n"]),
 
 
 def run_level(cores: int, tpath: str) -> dict:
-    script = CHILD.format(repo=REPO)
+    script = CHILD.replace("@REPO@", REPO)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), tpath],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
