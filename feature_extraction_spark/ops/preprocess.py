@@ -57,6 +57,25 @@ def sentence_split_expr(col: Column) -> Column:
     )
 
 
+def filter_groups_by_min_words(
+    df: DataFrame,
+    level: str = "conv",
+    min_words: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """P9 group-threshold filter (reference
+    archived/train_topic_model.py:54-56): keep only entities with at least
+    ``min_words`` non-empty tokens — a HAVING, expressed as a semi-join so
+    the turn grain is preserved."""
+    from feature_extraction_spark.ops.levels import keys_for
+
+    keys = keys_for(level)
+    toks = F.filter(tokenize_expr(F.col(text_col)), lambda t: t != "")
+    counts = df.groupBy(*keys).agg(F.sum(F.size(toks)).alias("_n"))
+    keep = counts.filter(F.col("_n") >= min_words).select(*keys)
+    return df.join(keep, on=keys, how="left_semi")
+
+
 def basic_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     """text_basic variant: lowercase + punctuation strip keeping apostrophes
     (reference text_util.py:104-109 + extract_text_features text_basic)."""

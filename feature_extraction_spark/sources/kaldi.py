@@ -158,6 +158,99 @@ def kaldi_segment_times(lines: DataFrame) -> DataFrame:
     return out
 
 
+def kaldi_timing_stats(
+    segment_times: DataFrame,
+    group_keys: list[str] = ("subject", "call"),
+    durations: DataFrame | None = None,
+) -> DataFrame:
+    """Full Kaldi timing feature pack (reference get_feats with the phones
+    variant, timing_features/extract_word_phone_timing.py:10-46 +
+    kaldi_asr_features/extract_timing_feats.py:117-145): stat bundles for
+    segments/silences/words/phones/wps/pps + derived ratios, grouped by
+    arbitrary keys (the A1 level parameterization).
+
+    ``durations``: optional dim with group keys + ``duration_ms`` (summed
+    per group = reference J4's total call duration)."""
+    from feature_extraction_spark.functions.text import nan, nan_guard_div
+
+    keys = list(group_keys)
+
+    def bundle(col, prefix):
+        return [
+            F.max(col).cast("double").alias(f"{prefix}_max"),
+            F.min(col).cast("double").alias(f"{prefix}_min"),
+            F.mean(col).alias(f"{prefix}_mean"),
+            F.median(col).alias(f"{prefix}_med"),
+            F.stddev_pop(col).alias(f"{prefix}_std"),
+        ]
+
+    seg_agg = segment_times.groupBy(*keys).agg(
+        *bundle(F.col("seg_dur_sec"), "segments"),
+        *bundle(F.col("wps"), "wps"),
+        *bundle(F.col("pps"), "pps"),
+        F.sum("seg_dur_sec").alias("spk_duration"),
+        F.count(F.lit(1)).cast("double").alias("segment_count"),
+        F.sum(F.when(F.col("seg_dur_sec") <= 1.0, 1).otherwise(0))
+        .cast("double")
+        .alias("short_utt_count"),
+    )
+
+    def grain(arr_col, prefix, extra=()):
+        rows = segment_times.select(*keys, F.explode(arr_col).alias("v"))
+        return rows.groupBy(*keys).agg(
+            *bundle(F.col("v"), prefix),
+            F.count(F.lit(1)).cast("double").alias(f"{prefix[:-1]}_count"
+                                                   if prefix.endswith("s")
+                                                   else f"{prefix}_count"),
+            *extra,
+        )
+
+    word_agg = grain("word_durs_ms", "words")
+    phone_agg = grain("phone_durs_ms", "phones")
+    sil_agg = grain(
+        "sil_durs_ms", "silences", extra=((F.sum("v") * 0.001).alias("sil_duration"),)
+    )
+    sil_agg = sil_agg.withColumnRenamed("silence_count", "sil_count")
+
+    out = (
+        seg_agg.join(word_agg, keys, "left")
+        .join(phone_agg, keys, "left")
+        .join(sil_agg, keys, "left")
+    )
+    for p in ("words", "silences", "phones"):
+        for s in ("max", "min", "mean", "med", "std"):
+            out = out.withColumn(f"{p}_{s}", F.coalesce(F.col(f"{p}_{s}"), nan()))
+    out = (
+        out.withColumn("word_count", F.coalesce(F.col("word_count"), F.lit(0.0)))
+        .withColumn("phone_count", F.coalesce(F.col("phone_count"), F.lit(0.0)))
+        .withColumn("sil_count", F.coalesce(F.col("sil_count"), F.lit(0.0)))
+        .withColumn("sil_duration", F.coalesce(F.col("sil_duration"), F.lit(0.0)))
+        .withColumn("spk_sil_ratio", nan_guard_div(F.col("spk_duration"), F.col("sil_duration")))
+        .withColumn("sps", nan_guard_div(F.col("sil_count"), F.col("spk_duration")))
+        .withColumn("wps", nan_guard_div(F.col("word_count"), F.col("spk_duration")))
+        .withColumn("pps", nan_guard_div(F.col("phone_count"), F.col("spk_duration")))
+    )
+    if durations is not None:
+        dim = durations.groupBy(*keys).agg(
+            (F.sum("duration_ms") * 1e-3).alias("total_duration")
+        )
+        out = out.join(F.broadcast(dim), keys, "left")
+    else:
+        out = out.withColumn("total_duration", nan())
+    return (
+        out.withColumn("spk_ratio", nan_guard_div(F.col("spk_duration"), F.col("total_duration")))
+        .withColumn("sil_ratio", nan_guard_div(F.col("sil_duration"), F.col("total_duration")))
+        .withColumn(
+            "segs_per_min",
+            nan_guard_div(F.col("segment_count"), F.col("total_duration") / 60.0),
+        )
+        .withColumn(
+            "short_utts_per_min",
+            nan_guard_div(F.col("short_utt_count"), F.col("total_duration") / 60.0),
+        )
+    )
+
+
 def read_kaldi_confidence(spark: SparkSession, path: str) -> DataFrame:
     """Per-word confidence lines (reference S6,
     extract_asr_conf_feats.py:24-47): token[0]=seg_id, token[5]=score;
