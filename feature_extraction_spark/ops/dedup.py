@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from feature_extraction_spark.ops.textquality import normalized_text_expr
+from feature_extraction_spark.sources.io import ensure_parallelism
 
 
 def _shingles(text_col: str, n: int):
@@ -65,10 +66,16 @@ def ngram_jaccard_pairs(
     """Exact near-duplicate pairs (id_a < id_b, jaccard >= threshold) via an
     inverted shingle index. ``max_shingle_df`` drops shingles appearing in
     more than that many docs (stop-shingles: they explode the candidate set
-    and cannot be decisive for high thresholds at scale)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sh")
-    )
+    and cannot be decisive for high thresholds at scale).
+
+    The index/join key is ``xxhash64(shingle)`` (8 bytes), not the shingle
+    string: the shuffled bytes shrink ~6x and key comparison is a long
+    compare. Exact up to 64-bit hash collisions (~n^2/2^65 — negligible at
+    any corpus size this runs on)."""
+    base = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = base.select(
+        "id", F.explode(_shingles(text_col, n)).alias("sh")
+    ).select("id", F.xxhash64("sh").alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_df is not None:
@@ -112,13 +119,18 @@ def minhash_signatures(
     Shingles are exploded ONCE and the k minima run as one hash aggregation
     (map-side combinable). The naive form — k array-transforms over the
     shingle expression — recomputes normalization+shingling per hash and is
-    ~20x slower; Catalyst's projection collapse cannot CSE it away."""
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, shingle_n)).alias("sh")
-    )
+    ~20x slower; Catalyst's projection collapse cannot CSE it away.
+
+    The shingle STRING is hashed once (`xxhash64(sh, seed)`); the k family
+    members re-hash that 8-byte value (`xxhash64(h, i)`), so per-shingle
+    cost is one string hash + k long hashes instead of k string hashes."""
+    base = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    tok = base.select(
+        "id", F.explode(_shingles(text_col, shingle_n)).alias("sh")
+    ).select("id", F.xxhash64("sh", F.lit(seed)).alias("h"))
     return tok.groupBy("id").agg(
         *[
-            F.min(F.xxhash64("sh", F.lit(i), F.lit(seed))).alias(f"mh_{i}")
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
     )
@@ -169,8 +181,8 @@ def minhash_lsh_dedup(
     confirmed pairs (id_a, id_b, jaccard)."""
     n = lsh_kwargs.get("shingle_n", 3)
     cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
-    sh = df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, n).alias("shset")
+    sh = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", _shingles(text_col, n).alias("shset")
     )
     out = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a")
@@ -205,7 +217,8 @@ def with_simhash(
             lambda w: F.length(w) > 0,
         )
     )
-    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    base = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    tok = base.select("id", F.explode(words).alias("w"))
     h = F.xxhash64(F.col("w"), F.lit(seed))
     votes = tok.groupBy("id").agg(
         *[

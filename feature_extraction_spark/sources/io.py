@@ -39,6 +39,25 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan up to the cluster's default parallelism so
+    heavy per-row expressions (shingling, hashing, UDF kernels) use every
+    core.
+
+    A single small parquet file arrives as ONE input split, serializing all
+    downstream projection work onto one task regardless of cluster size. At
+    real scale (many files / Iceberg manifests) the scan already has >=
+    defaultParallelism splits and this is a no-op — the check is on the
+    *physical* partition count, so the round-robin shuffle (cost: one pass
+    over the raw rows, tiny next to the per-row work it parallelizes) only
+    happens when the input is pathologically under-split."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_table(
     df: DataFrame,
     path_or_table: str,
