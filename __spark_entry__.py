@@ -16,6 +16,22 @@ from pyspark.sql import functions as F
 
 SF1 = "/root/testdata/sf0.001"
 
+# Synthetic LIWC-style dictionary (the real LIWC 2007 .dic is proprietary;
+# same synthetic dict as tests/test_pos_graph_liwc.py).
+_DIC = """%
+1\tposemo
+2\tnegemo
+3\tsocial
+%
+happ*\t1
+good\t1
+bad\t2
+sad\t2
+you\t3
+you know\t3
+friend*\t3
+"""
+
 # ---------------------------------------------------------------- helpers
 
 
@@ -274,6 +290,86 @@ def q_pos_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, POS_KEYS + ["adj_ratio", "v_ratio", "n_ratio", "pn_ratio", "sc_ratio"])
 
 
+def q_liwc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.liwc import liwc_features, parse_dic
+
+    t = _docs_as_transcripts(spark, sf_dir, "source")
+    d = parse_dic(_DIC)
+    out = liwc_features(t, d, level="conv").withColumnRenamed("conv_id", "source")
+    return _r6(out, [f"{c}_liwc" for c in d.categories])
+
+
+def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.textquality import with_quality_score
+
+    out = with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
+        "q_punct_ratio", "q_upper_ratio", "q_stopword_ratio",
+        "q_distinct_ratio", "q_score",
+    )
+    return _r6(
+        out,
+        ["q_mean_word_len", "q_punct_ratio", "q_upper_ratio",
+         "q_stopword_ratio", "q_distinct_ratio", "q_score"],
+    )
+
+
+def q_daily_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 level parameterization (day) over events: entity keys derived via
+    levels.with_entity_keys, one hash aggregation per (subject, day)."""
+    from feature_extraction_spark.ops.levels import keys_for, with_entity_keys
+
+    t = _events_as_transcripts(spark, sf_dir)
+    t = with_entity_keys(t, subject_expr=F.col("conv_id"))
+    out = t.groupBy(*keys_for("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("role") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.round(F.avg("value"), 6).alias("val_mean"),
+        F.round(F.stddev_pop("value"), 6).alias("val_std"),
+        F.round(F.median("value"), 6).alias("val_med"),
+    )
+    return out.select(
+        F.col("subject_id").cast("bigint").alias("user_id"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events", "n_purchases", "val_mean", "val_std", "val_med",
+    )
+
+
+def q_asof_purchase_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extraction_spark.ops.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        right,
+        on="user_id",
+        value_cols=["pval"],
+        tolerance_s=86400.0,
+    )
+    return out.select(
+        "event_id",
+        F.round("pval_asof", 6).alias("purchase_value"),
+        F.unix_micros("ts_asof").alias("purchase_ts_us"),
+    )
+
+
+def q_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-graph metrics (applyInPandas kernel) — rows-only check: the
+    networkx kernel (LCC/LSC/diameter...) is not SQL-expressible."""
+    from feature_extraction_spark.ops.graph import graph_features
+
+    t = _docs_as_transcripts(spark, sf_dir, "source")
+    out = graph_features(t, level="conv").withColumnRenamed("conv_id", "source")
+    keep = ["source", "num_nodes_naive", "num_edges_naive", "ave_degree_naive",
+            "lcc_naive", "lsc_naive", "num_nodes_lemma", "num_edges_pos"]
+    return _r6(out.select(*keep), keep[1:])
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = (
@@ -363,6 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_purchase": q_backfill_purchase,
         "role_transitions_events": q_role_transitions_events,
         "pos_docs": q_pos_docs,
+        "liwc_docs": q_liwc_docs,
+        "quality_docs": q_quality_docs,
+        "daily_stats_events": q_daily_stats_events,
+        "asof_purchase_tolerance": q_asof_purchase_tolerance,
+        "graph_docs": q_graph_docs,
         "tpch_q1": q_tpch_q1,
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
@@ -463,6 +564,50 @@ SELECT counts.source,
   round(CASE WHEN c_NOUN <> 0 THEN c_PNOUN::double / c_NOUN ELSE 'nan'::double END, 6) AS pn_ratio,
   round(CASE WHEN c_CC <> 0 THEN c_PREP::double / c_CC ELSE 'nan'::double END, 6) AS sc_ratio
 FROM counts JOIN nw ON counts.source = nw.source
+"""
+
+
+def _liwc_docs_sql() -> str:
+    """DuckDB oracle for liwc_docs, GENERATED from the same parsed dictionary
+    as the Spark op (ops/liwc.py) so the two cannot drift. Each pattern is a
+    separate summand, replicating the Spark union-of-matches counting."""
+    from feature_extraction_spark.ops.liwc import parse_dic
+
+    d = parse_dic(_DIC)
+    esc = lambda s: s.replace("'", "''")
+    terms: dict[str, list[str]] = {c: [] for c in d.categories}
+    for pat, cat in d.exact:
+        terms[cat].append(f"sum(CASE WHEN tok = '{esc(pat)}' THEN 1 ELSE 0 END)")
+    for stem, cat in d.wild:
+        terms[cat].append(
+            f"sum(CASE WHEN starts_with(tok, '{esc(stem)}') THEN 1 ELSE 0 END)"
+        )
+    counts = ",\n    ".join(
+        f"{' + '.join(ts) if ts else '0'} AS c_{c}" for c, ts in terms.items()
+    )
+    props = ",\n  ".join(
+        f"round(CASE WHEN num_words = 0 THEN 'nan'::double "
+        f"ELSE coalesce(c_{c}, 0)::double / num_words END, 6) AS {c}_liwc"
+        for c in d.categories
+    )
+    return f"""
+WITH per AS (SELECT source, str_split(text, ' ') AS w FROM documents),
+nw AS (SELECT source, sum(len(w)) AS num_words FROM per GROUP BY source),
+toks AS (
+  SELECT source, unnest(w) AS tok FROM per
+  UNION ALL
+  SELECT source, unnest(CASE WHEN len(w) >= 2 THEN
+    list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))
+    ELSE CAST([] AS VARCHAR[]) END) FROM per
+  UNION ALL
+  SELECT source, unnest(CASE WHEN len(w) >= 3 THEN
+    list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))
+    ELSE CAST([] AS VARCHAR[]) END) FROM per
+),
+counts AS (SELECT source, {counts} FROM toks GROUP BY source)
+SELECT nw.source,
+  {props}
+FROM nw LEFT JOIN counts ON nw.source = counts.source
 """
 
 
@@ -680,6 +825,65 @@ FROM t WHERE prev IS NOT NULL GROUP BY user_id, prev, cur
 
     pos_docs = _pos_docs_sql()
 
+    quality = r"""
+WITH b AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> length(w) > 0) AS words,
+    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, len(words) AS n_words,
+    list_sum(list_transform(words, w -> length(w)))::double / len(words) AS mean_wlen,
+    punct::double / n_chars AS punct_ratio,
+    upper_n::double / n_chars AS upper_ratio,
+    len(list_filter(words, w -> w IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','this','have','be')))::double / len(words) AS stop_ratio,
+    len(list_distinct(words))::double / len(words) AS distinct_ratio
+  FROM b
+)
+SELECT doc_id,
+  n_chars::double AS q_n_chars,
+  n_words::double AS q_n_words,
+  round(mean_wlen, 6) AS q_mean_word_len,
+  round(punct_ratio, 6) AS q_punct_ratio,
+  round(upper_ratio, 6) AS q_upper_ratio,
+  round(stop_ratio, 6) AS q_stopword_ratio,
+  round(distinct_ratio, 6) AS q_distinct_ratio,
+  round(0.25 * least(stop_ratio * 3, 1.0)
+      + 0.25 * least(distinct_ratio * 1.25, 1.0)
+      + 0.25 * (1.0 - least(punct_ratio * 4, 1.0))
+      + 0.25 * (CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END), 6) AS q_score
+FROM m
+"""
+
+    daily_stats = """
+SELECT user_id, strftime(ts::DATE, '%Y-%m-%d') AS day,
+  count(*) AS n_events,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+  round(avg(value), 6) AS val_mean,
+  round(stddev_pop(value), 6) AS val_std,
+  round(median(value)::double, 6) AS val_med
+FROM events GROUP BY user_id, ts::DATE
+"""
+
+    asof_tolerance = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pval FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+), j AS (
+  SELECT e.event_id, e.ts AS lts, p.ts AS rts, p.pval
+  FROM events e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts >= p.ts
+)
+SELECT event_id,
+  CASE WHEN epoch_us(lts) - epoch_us(rts) <= 86400000000 THEN round(pval, 6) END
+    AS purchase_value,
+  CASE WHEN epoch_us(lts) - epoch_us(rts) <= 86400000000 THEN epoch_us(rts) END
+    AS purchase_ts_us
+FROM j
+"""
+
     tpch_q1 = """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 3) AS sum_qty,
@@ -731,6 +935,10 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "backfill_purchase": backfill,
         "role_transitions_events": transitions,
         "pos_docs": pos_docs,
+        "liwc_docs": _liwc_docs_sql(),
+        "quality_docs": quality,
+        "daily_stats_events": daily_stats,
+        "asof_purchase_tolerance": asof_tolerance,
         "tpch_q1": tpch_q1,
         "cosine_topk": cosine_topk,
         "knn_join": knn,

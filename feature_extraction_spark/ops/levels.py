@@ -40,7 +40,9 @@ def with_entity_keys(
 ) -> DataFrame:
     """Add derived hierarchy columns: subject_id, day, week."""
     if "subject_id" not in df.columns:
-        df = df.withColumn("subject_id", subject_expr or default_subject_expr())
+        if subject_expr is None:
+            subject_expr = default_subject_expr()
+        df = df.withColumn("subject_id", subject_expr)
     return df.withColumn("day", F.to_date(ts_col)).withColumn(
         "week", F.date_trunc("week", ts_col).cast("date")
     )
