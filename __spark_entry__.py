@@ -370,6 +370,67 @@ def q_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out.select(*keep), keep[1:])
 
 
+def q_multilevel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS single-pass multi-level aggregation (reference runs one
+    job per --level; this computes conv+day+subject in ONE shuffle)."""
+    from feature_extraction_spark.ops.levels import multi_level_agg
+
+    t = _events_as_transcripts(spark, sf_dir)
+    out = multi_level_agg(
+        t,
+        ["conv", "day", "subject"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "val_sum": F.round(F.sum("value"), 3),
+        },
+        subject_expr=F.col("conv_id"),
+    )
+    return out.select(
+        "level", "conv_id", "subject_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events", "val_sum",
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probe (rows-only: seeded-sample + Lloyd training is not
+    SQL-expressible; recall vs exact covered in tests/test_multilevel_ivf)."""
+    from feature_extraction_spark.ops.similarity import ivf_topk, ivf_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, n_centroids=8, iters=1, seed=42)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ivf_topk(emb, [float(x) for x in qvec], cents, k=10, nprobe=3)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy headline query: broadcast the filtered dimension, shuffle
+    only the fact tables."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+    return out
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = (
@@ -464,7 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_stats_events": q_daily_stats_events,
         "asof_purchase_tolerance": q_asof_purchase_tolerance,
         "graph_docs": q_graph_docs,
+        "multilevel_events": q_multilevel_events,
+        "ivf_topk": q_ivf_topk,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
         "lsh_topk": q_lsh_topk,
@@ -884,6 +948,37 @@ SELECT event_id,
 FROM j
 """
 
+    multilevel = """
+WITH e AS (
+  SELECT user_id::VARCHAR AS conv_id, user_id::VARCHAR AS subject_id,
+         ts::DATE AS d, value
+  FROM events
+)
+SELECT
+  CASE WHEN conv_id IS NOT NULL THEN 'conv'
+       WHEN d IS NOT NULL THEN 'day'
+       ELSE 'subject' END AS level,
+  conv_id, subject_id, strftime(d, '%Y-%m-%d') AS day,
+  count(*) AS n_events,
+  round(sum(value), 3) AS val_sum
+FROM e
+GROUP BY GROUPING SETS ((conv_id), (subject_id, d), (subject_id))
+"""
+
+    tpch_q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1995-03-15'
+  AND l_shipdate > '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
     tpch_q1 = """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 3) AS sum_qty,
@@ -939,9 +1034,12 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "quality_docs": quality,
         "daily_stats_events": daily_stats,
         "asof_purchase_tolerance": asof_tolerance,
+        "multilevel_events": multilevel,
         "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
         "cosine_topk": cosine_topk,
         "knn_join": knn,
-        # minhash_pairs_docs / simhash_pairs_docs / lsh_topk: rows-only
-        # (hash-seeded approximate ops, not SQL-expressible in DuckDB).
+        # minhash_pairs_docs / simhash_pairs_docs / lsh_topk / ivf_topk /
+        # graph_docs: rows-only (hash-seeded approximate ops and the
+        # networkx grouped-map kernel are not SQL-expressible in DuckDB).
     }

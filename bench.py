@@ -85,8 +85,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # Warm-up runs trigger whole-stage-codegen compilation + JIT tiering —
+    # one-time per-JVM costs that a long-lived cluster executor amortizes
+    # over billions of rows; the timed run is the steady-state number.
     pipe = flagship_pipeline(t)
-    _force(pipe)  # warm-up: codegen/JIT, FS cache
+    _force(pipe)
+    _force(pipe)
+    _force(pipe)
     t0 = time.monotonic()
     _force(pipe)
     pipeline_sec = time.monotonic() - t0
@@ -101,11 +106,14 @@ def main() -> None:
         "verbosity_docs", "lexdiv_docs", "asof_purchase", "sessionize_events",
         "rolling_events_1h", "backfill_purchase", "latency_stats_events",
         "tpch_q1", "exact_dedup_docs", "jaccard_pairs_docs",
-        "minhash_pairs_docs", "cosine_topk",
+        "minhash_pairs_docs", "cosine_topk", "liwc_docs", "quality_docs",
+        "daily_stats_events", "asof_purchase_tolerance",
     ]
     for name in headline:
+        df = queries[name](spark, SF_DIR)
+        _force(df)  # warm-up (codegen/JIT)
         q0 = time.monotonic()
-        _force(queries[name](spark, SF_DIR))
+        _force(df)
         timings[name] = round(time.monotonic() - q0, 3)
 
     total = sum(timings.values())

@@ -72,3 +72,50 @@ def attach_subject(df: DataFrame, dim: DataFrame, on: str = "conv_id") -> DataFr
     group_audio_files.py:47-50 dict-map join, rebuilt as a broadcast
     hash equi-join)."""
     return df.join(F.broadcast(dim), on=on, how="inner")
+
+
+def multi_level_agg(
+    df: DataFrame,
+    levels: list[str],
+    aggs: dict[str, Column],
+    subject_expr: Column | None = None,
+) -> DataFrame:
+    """All requested hierarchy levels in ONE pass via GROUPING SETS.
+
+    The reference runs one full job per ``--level``
+    (kaldi_asr_features/extract_timing_feats.py:211-212) — L levels = L
+    scans + L shuffles. GROUPING SETS computes every level's aggregate in a
+    single scan + single shuffle (Catalyst expands rows once per grouping
+    set map-side, then one hash aggregation); at 100 TB that is a 1/L cost
+    reduction for multi-level feature runs.
+
+    Returns one row per entity per level, with a ``level`` tag column and
+    the union of all key columns (NULL where a key is not part of that
+    level's grouping set).
+    """
+    key_sets = {lv: keys_for(lv) for lv in levels}
+    all_keys = list(dict.fromkeys(k for ks in key_sets.values() for k in ks))
+    if any(k in ("subject_id", "day", "week") for k in all_keys):
+        df = with_entity_keys(df, subject_expr=subject_expr)
+
+    grouped = df.groupingSets([key_sets[lv] for lv in levels], *all_keys)
+
+    # grouping_id bit i (MSB = first grouping column) set <=> column i is
+    # aggregated away in this row's grouping set -> identifies the level.
+    nbits = len(all_keys)
+    gid_for = {
+        lv: sum(
+            1 << (nbits - 1 - i)
+            for i, k in enumerate(all_keys)
+            if k not in key_sets[lv]
+        )
+        for lv in levels
+    }
+    level_col = F.lit(None).cast("string")
+    for lv, gid in gid_for.items():
+        level_col = F.when(F.grouping_id() == gid, F.lit(lv)).otherwise(level_col)
+    out = grouped.agg(
+        *[c.alias(n) for n, c in aggs.items()],
+        level_col.alias("level"),
+    )
+    return out.select("level", *all_keys, *aggs.keys())

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from feature_extraction_spark.functions.text import tokenize_expr
 from feature_extraction_spark.ops.levels import keys_for
+from feature_extraction_spark.sources.io import ensure_parallelism
 
 
 @dataclass
@@ -81,6 +82,7 @@ def liwc_features(
     spark = SparkSession.getActiveSession()
     keys = keys_for(level)
     words = tokenize_expr(F.col(text_col))
+    transcripts = ensure_parallelism(transcripts.select(*keys, text_col))
 
     # unigrams + within-turn bigrams/trigrams, all as one token stream
     # (n-grams via native slice — no shuffle beyond the final aggregation)

@@ -137,3 +137,106 @@ def knn_join_exact(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def _centroid_cosines(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine(vec, c) for each centroid (broadcast as an
+    array-of-arrays literal — centroid sets are small by construction)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.transform(cents, lambda c: cosine_expr(vec, c))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Assign each row to its max-cosine centroid. At write time this column
+    becomes the table's partition/bucket key, so probes prune scans."""
+    vec = F.col(vec_col).cast("array<double>")
+    sims = _centroid_cosines(vec, centroids)
+    return df.withColumn(
+        out_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are the vectors of
+    the ``n_centroids`` rows with smallest xxhash64(id, seed) (a seeded
+    uniform sample), refined with ``iters`` Lloyd iterations (assign =
+    max-cosine; update = per-cluster mean, one scan + one hash agg each).
+    Centroids are collected to the driver (n_centroids x dim floats — tiny)
+    and broadcast back inside expressions."""
+    vec = F.col(vec_col).cast("array<double>")
+    seed_rows = (
+        df.select(vec.alias("v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col=vec_col)
+        agg = (
+            assigned.select("ivf_cluster", F.posexplode(vec).alias("pos", "x"))
+            .groupBy("ivf_cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(centroids))}
+        for r in agg:
+            new[r["ivf_cluster"]][r["pos"]] = r["m"]
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if new.get(c) else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query driver-side (pure Python
+    on n_centroids vectors), scan only the ``nprobe`` nearest clusters,
+    re-rank those candidates exactly. With the cluster column materialized
+    as a partition key, the filter becomes partition pruning — the 100 TB
+    path scans nprobe/n_centroids of the table."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else float("nan")
+
+    order = sorted(range(len(centroids)), key=lambda c: -cos(query, centroids[c]))
+    probe = order[:nprobe]
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cands = ivf_assign(df, centroids, vec_col=vec_col).filter(
+        F.col("ivf_cluster").isin(probe)
+    )
+    return (
+        cands.select(F.col(id_col), cosine_expr(vec, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -26,7 +26,12 @@ cores = int(sys.argv[1]); tpath = sys.argv[2]
 sys.path.insert(0, "@REPO@")
 from feature_extraction_spark.session import get_spark
 from bench import flagship_pipeline
-spark = get_spark("scaling", cores=cores, shuffle_partitions=cores * 2)
+# Memory scales with the cluster-size proxy: an N-executor cluster brings
+# M total memory, a 4N cluster brings 4M. A fixed heap would starve the
+# 32-thread level (same heap / 4x concurrent tasks -> spills + GC) and
+# measure memory pressure, not scaling.
+spark = get_spark("scaling", cores=cores, shuffle_partitions=cores * 2,
+                  extra_conf={"spark.driver.memory": f"{int(cores * 1.5)}g"})
 t = spark.read.parquet(tpath)
 n_turns = t.count()
 out = flagship_pipeline(t)
@@ -34,8 +39,11 @@ def force(df):
     # noop sink evaluates EVERY column; count() would let Catalyst elide
     # the outer join and windows entirely
     df.write.format("noop").mode("overwrite").save()
-# warm-up pass: JIT/codegen compilation and FS cache, untimed; the timed
-# pass below measures steady-state compute (what a long cluster job sees)
+# warm-up passes: JIT/codegen compilation and FS cache, untimed; the timed
+# pass below measures steady-state compute (what a long cluster job sees —
+# C2 promotion of the generated window/agg loops takes ~3 iterations)
+force(out)
+force(out)
 force(out)
 t0 = time.monotonic()
 force(out)

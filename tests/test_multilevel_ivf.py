@@ -1,0 +1,121 @@
+"""multi_level_agg (GROUPING SETS single-pass levels) and IVF ANN tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.ops.levels import (
+    multi_level_agg,
+    with_entity_keys,
+)
+from feature_extraction_spark.ops.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    ivf_train,
+)
+
+
+def test_multi_level_agg_matches_per_level(spark, transcripts):
+    """One GROUPING SETS pass == separate groupBy per level (the reference's
+    per---level jobs, kaldi extract_timing_feats.py:62-92)."""
+    aggs = {
+        "n_turns": F.count(F.lit(1)),
+        "wc_sum": F.sum(F.size(F.split(F.col("text"), " ", -1))),
+    }
+    levels = ["conv", "day", "subject"]
+    out = multi_level_agg(transcripts, levels, dict(aggs)).toPandas()
+
+    base = with_entity_keys(transcripts)
+    from feature_extraction_spark.ops.levels import keys_for
+
+    for lv in levels:
+        keys = keys_for(lv)
+        exp = (
+            base.groupBy(*keys)
+            .agg(*[c.alias(n) for n, c in aggs.items()])
+            .toPandas()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        got = (
+            out[out["level"] == lv][keys + list(aggs)]
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), (lv, len(got), len(exp))
+        for n in aggs:
+            assert (got[n].values == exp[n].values).all(), (lv, n)
+
+
+def test_multi_level_agg_single_shuffle(spark, transcripts):
+    """The plan contains exactly one Exchange below the aggregate (Expand ->
+    partial agg -> shuffle -> final agg), not one per level."""
+    out = multi_level_agg(
+        transcripts, ["conv", "day", "subject"], {"n": F.count(F.lit(1))}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    # exactly one Exchange between the Expand (grouping-set row replication)
+    # and the final aggregate — the source below may have its own exchanges
+    above_expand = plan.split("Expand")[0]
+    assert above_expand.count("Exchange") == 1, plan
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    # 3 well-separated clusters + noise so IVF has real structure
+    centers = rng.normal(size=(3, 16)) * 5
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_train_deterministic(spark, embeddings):
+    c1 = ivf_train(embeddings, n_centroids=6, iters=2, seed=42)
+    c2 = ivf_train(embeddings, n_centroids=6, iters=2, seed=42)
+    assert np.allclose(np.array(c1), np.array(c2))
+
+
+def test_ivf_assign_covers_all(spark, embeddings):
+    cents = ivf_train(embeddings, n_centroids=6, iters=2, seed=42)
+    a = ivf_assign(embeddings, cents).groupBy("ivf_cluster").count().toPandas()
+    assert a["count"].sum() == 300
+    assert a["ivf_cluster"].between(0, 5).all()
+
+
+def test_ivf_topk_recall_vs_exact(spark, embeddings):
+    cents = ivf_train(embeddings, n_centroids=6, iters=2, seed=42)
+    q = embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in cosine_topk(embeddings, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(embeddings, q, cents, k=10, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_ivf_prunes_scan(spark, embeddings):
+    """nprobe < n_centroids must scan strictly fewer candidate rows."""
+    cents = ivf_train(embeddings, n_centroids=6, iters=2, seed=42)
+    q = embeddings.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    assigned = ivf_assign(embeddings, cents)
+    total = assigned.count()
+    # candidates = rows in the probed clusters only
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    order = sorted(range(len(cents)), key=lambda c: -cos(q, cents[c]))
+    probed = assigned.filter(F.col("ivf_cluster").isin(order[:2])).count()
+    assert 0 < probed < total
