@@ -404,6 +404,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (rows-only: Arrow-batched
+    mapInPandas decode over a deterministic synthetic media table; codecs
+    are stubbed — see ops/multimodal.py)."""
+    from feature_extraction_spark.ops.multimodal import (
+        extract_image_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=300, seed=42)
+    out = extract_image_features(media, dim=8)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feat", 1).cast("double"), 6).alias("feat_0"),
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy headline query: broadcast the filtered dimension, shuffle
     only the fact tables."""
@@ -527,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_docs": q_graph_docs,
         "multilevel_events": q_multilevel_events,
         "ivf_topk": q_ivf_topk,
+        "multimodal_features": q_multimodal_features,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "cosine_topk": q_cosine_topk,
