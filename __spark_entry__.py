@@ -485,6 +485,27 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", "rank")
 
 
+def q_neardup_pairs_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline."""
+    from feature_extraction_spark.ops.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # testdata embeddings are near-orthogonal (max pairwise cosine ~0.51);
+    # 0.35 ~ the 99.9th percentile, so the pair set is non-trivial
+    out = cosine_neardup_pairs(emb, threshold=0.35, method="exact")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_neardup_pairs_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH banding (rows-only: seeded
+    hash planes are not SQL-expressible; recall vs exact tested)."""
+    from feature_extraction_spark.ops.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_neardup_pairs(emb, threshold=0.35, method="lsh", planes=4, tables=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_extraction_spark.ops.similarity import lsh_topk
 
@@ -551,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
         "lsh_topk": q_lsh_topk,
+        "neardup_pairs_emb": q_neardup_pairs_emb,
+        "neardup_pairs_emb_lsh": q_neardup_pairs_emb_lsh,
     }
 
 
@@ -1018,6 +1041,13 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, v
 LIMIT 10
 """
 
+    neardup_emb = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
     knn = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
 scored AS (
@@ -1058,6 +1088,7 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "tpch_q3": tpch_q3,
         "cosine_topk": cosine_topk,
         "knn_join": knn,
+        "neardup_pairs_emb": neardup_emb,
         # minhash_pairs_docs / simhash_pairs_docs / lsh_topk / ivf_topk /
         # graph_docs: rows-only (hash-seeded approximate ops and the
         # networkx grouped-map kernel are not SQL-expressible in DuckDB).

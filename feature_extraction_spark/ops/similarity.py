@@ -240,3 +240,65 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------- embedding near-dup pairs
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    method='exact': all-pairs self-join — O(n^2), the small-corpus baseline
+    and the test oracle. method='lsh' (default): random-hyperplane banding
+    (reuses lsh_bucket_expr) — candidates are pairs sharing a bucket in any
+    of ``tables`` hash tables, then exact cosine verification; the 100 TB
+    path, where the bucket column shuffles instead of the cross join."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+
+    if method == "exact":
+        a, b = base.alias("a"), base.alias("b")
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            )
+        )
+        return pairs.filter(F.col("cosine") >= threshold)
+
+    if dim is None:
+        first = df.select(F.size(v).alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
+    buckets = F.array(
+        *[lsh_bucket_expr(F.col("v"), dim, planes, t, seed) for t in range(tables)]
+    )
+    banded = base.select(
+        "id", "v", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    # same-keyed explicit exchange -> self-join reuses one shuffle stage
+    banded = banded.repartition("tbl", "bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("cosine") >= threshold)

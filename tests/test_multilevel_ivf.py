@@ -119,3 +119,24 @@ def test_ivf_prunes_scan(spark, embeddings):
     order = sorted(range(len(cents)), key=lambda c: -cos(q, cents[c]))
     probed = assigned.filter(F.col("ivf_cluster").isin(order[:2])).count()
     assert 0 < probed < total
+
+
+def test_cosine_neardup_lsh_recall(spark, embeddings):
+    from feature_extraction_spark.ops.similarity import cosine_neardup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(
+            embeddings, threshold=0.9, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(
+            embeddings, threshold=0.9, method="lsh", tables=6
+        ).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.8, (recall, len(exact), len(lsh))
