@@ -404,6 +404,72 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_TIMING_COLS = [
+    "segments_max", "segments_min", "segments_mean", "segments_med", "segments_std",
+    "wps_max", "wps_min", "wps_mean", "wps_med", "wps_std",
+    "words_max", "words_min", "words_mean", "words_med", "words_std",
+    "silences_max", "silences_min", "silences_mean", "silences_med", "silences_std",
+    "spk_duration", "segment_count", "short_utt_count", "word_count",
+    "sil_count", "sil_duration", "spk_sil_ratio", "sps", "wps",
+    "total_duration", "spk_ratio", "sil_ratio", "segs_per_min",
+    "short_utts_per_min",
+]
+
+
+def q_timing_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full timing pack (U9/W2/J2) over a word_timing column synthesized
+    deterministically from events (testdata has no ASR timing table; the
+    SAME closed-form synthesis runs in the DuckDB oracle):
+    per event: n = id%5+1 words of 0.2 s, leading gap id%2 * 30 ms,
+    inter-word gaps id%3 * 50 ms, trailing 40 ms (100 ns units)."""
+    from feature_extraction_spark.ops.timing import timing_stats
+
+    e = _events(spark, sf_dir)
+    D = 2_000_000  # 0.2 s in 100ns units
+    n = (F.col("event_id") % 5 + 1).cast("int")
+    g = (F.col("event_id") % 3).cast("long") * 500_000
+    lead = (F.col("event_id") % 2).cast("long") * 300_000
+    wt = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.concat(F.lit("w"), i.cast("string")).alias("Word"),
+            F.lit(D).cast("long").alias("Duration"),
+            (lead + i.cast("long") * (F.lit(D) + g)).alias("Offset"),
+        ),
+    )
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("long").alias("offset"),
+        (lead + n.cast("long") * D + (n - 1).cast("long") * g + 400_000).alias(
+            "duration"
+        ),
+        wt.alias("word_timing"),
+    )
+    durations = (
+        t.select("conv_id").distinct().withColumn("duration_ms", F.lit(600_000.0))
+    )
+    out = timing_stats(t, level="conv", durations=durations)
+    out = out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"), *_TIMING_COLS
+    )
+    return _r6(out, _TIMING_COLS)
+
+
+def q_conf_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence stat bundle (A2) with `value` as the per-segment score."""
+    from feature_extraction_spark.ops.confidence import confidence_stats
+
+    t = _events_as_transcripts(spark, sf_dir).withColumn(
+        "confidence", F.col("value")
+    )
+    out = confidence_stats(t, level="conv")
+    out = out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "conf_max", "conf_mean", "conf_std", "conf_min", "conf_med",
+    )
+    return _r6(out, ["conf_max", "conf_mean", "conf_std", "conf_min", "conf_med"])
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing (rows-only: Arrow-batched
     mapInPandas decode over a deterministic synthetic media table; codecs
@@ -567,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilevel_events": q_multilevel_events,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "timing_stats_events": q_timing_stats_events,
+        "conf_stats_events": q_conf_stats_events,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "cosine_topk": q_cosine_topk,
@@ -990,6 +1058,104 @@ SELECT event_id,
 FROM j
 """
 
+    # Same closed-form word_timing synthesis as q_timing_stats_events, with
+    # identical double-arithmetic op order (cast-to-double then * 1e-4 etc).
+    timing = """
+WITH e AS (
+  SELECT user_id, event_id,
+    (event_id % 5 + 1)::BIGINT AS n,
+    ((event_id % 3) * 500000)::BIGINT AS g,
+    ((event_id % 2) * 300000)::BIGINT AS l
+  FROM events
+), seg AS (
+  SELECT user_id, event_id, n, g, l,
+    (l + n * 2000000 + (n - 1) * g + 400000)::DOUBLE * 1e-7 AS seg_sec
+  FROM e
+), seg2 AS (
+  SELECT *, n / seg_sec AS wps_seg FROM seg
+), turn_agg AS (
+  SELECT user_id,
+    max(seg_sec) AS segments_max, min(seg_sec) AS segments_min,
+    avg(seg_sec) AS segments_mean, median(seg_sec) AS segments_med,
+    stddev_pop(seg_sec) AS segments_std,
+    max(wps_seg) AS wps_max, min(wps_seg) AS wps_min,
+    avg(wps_seg) AS wps_mean, median(wps_seg) AS wps_med,
+    stddev_pop(wps_seg) AS wps_std,
+    sum(seg_sec) AS spk_duration,
+    count(*)::DOUBLE AS segment_count,
+    sum(CASE WHEN seg_sec <= 1.0 THEN 1 ELSE 0 END)::DOUBLE AS short_utt_count
+  FROM seg2 GROUP BY user_id
+), word_rows AS (
+  SELECT user_id, (2000000)::DOUBLE * 1e-4 AS wd
+  FROM e, LATERAL (SELECT unnest(generate_series(1, e.n)) ) _u
+), word_agg AS (
+  SELECT user_id,
+    max(wd) AS words_max, min(wd) AS words_min, avg(wd) AS words_mean,
+    median(wd) AS words_med, stddev_pop(wd) AS words_std,
+    count(*)::DOUBLE AS word_count
+  FROM word_rows GROUP BY user_id
+), sil_rows AS (
+  SELECT user_id, l::DOUBLE * 1e-4 AS sd FROM e WHERE l <> 0
+  UNION ALL
+  SELECT user_id, g::DOUBLE * 1e-4 AS sd
+  FROM e, LATERAL (SELECT unnest(generate_series(1, e.n - 1))) _u
+  WHERE g <> 0
+  UNION ALL
+  SELECT user_id, (400000)::DOUBLE * 1e-4 AS sd FROM e
+), sil_agg AS (
+  SELECT user_id,
+    max(sd) AS silences_max, min(sd) AS silences_min, avg(sd) AS silences_mean,
+    median(sd) AS silences_med, stddev_pop(sd) AS silences_std,
+    count(*)::DOUBLE AS sil_count,
+    sum(sd) * 0.001 AS sil_duration
+  FROM sil_rows GROUP BY user_id
+), j AS (
+  SELECT t.*, w.* EXCLUDE (user_id), s.* EXCLUDE (user_id),
+         600000.0 * 1e-3 AS total_duration
+  FROM turn_agg t
+  JOIN word_agg w ON t.user_id = w.user_id
+  JOIN sil_agg s ON t.user_id = s.user_id
+)
+SELECT user_id,
+  round(segments_max, 6) AS segments_max, round(segments_min, 6) AS segments_min,
+  round(segments_mean, 6) AS segments_mean, round(segments_med, 6) AS segments_med,
+  round(segments_std, 6) AS segments_std,
+  round(wps_max, 6) AS wps_max, round(wps_min, 6) AS wps_min,
+  round(wps_mean, 6) AS wps_mean, round(wps_med, 6) AS wps_med,
+  round(wps_std, 6) AS wps_std,
+  round(words_max, 6) AS words_max, round(words_min, 6) AS words_min,
+  round(words_mean, 6) AS words_mean, round(words_med, 6) AS words_med,
+  round(words_std, 6) AS words_std,
+  round(silences_max, 6) AS silences_max, round(silences_min, 6) AS silences_min,
+  round(silences_mean, 6) AS silences_mean, round(silences_med, 6) AS silences_med,
+  round(silences_std, 6) AS silences_std,
+  round(spk_duration, 6) AS spk_duration,
+  round(segment_count, 6) AS segment_count,
+  round(short_utt_count, 6) AS short_utt_count,
+  round(word_count, 6) AS word_count,
+  round(sil_count, 6) AS sil_count,
+  round(sil_duration, 6) AS sil_duration,
+  round(spk_duration / sil_duration, 6) AS spk_sil_ratio,
+  round(sil_count / spk_duration, 6) AS sps,
+  round(word_count / spk_duration, 6) AS wps,
+  round(total_duration, 6) AS total_duration,
+  round(spk_duration / total_duration, 6) AS spk_ratio,
+  round(sil_duration / total_duration, 6) AS sil_ratio,
+  round(segment_count / (total_duration / 60.0), 6) AS segs_per_min,
+  round(short_utt_count / (total_duration / 60.0), 6) AS short_utts_per_min
+FROM j
+"""
+
+    conf = """
+SELECT user_id,
+  round(max(value), 6) AS conf_max,
+  round(avg(value), 6) AS conf_mean,
+  round(stddev_pop(value), 6) AS conf_std,
+  round(min(value), 6) AS conf_min,
+  round(median(value)::DOUBLE, 6) AS conf_med
+FROM events WHERE value IS NOT NULL GROUP BY user_id
+"""
+
     multilevel = """
 WITH e AS (
   SELECT user_id::VARCHAR AS conv_id, user_id::VARCHAR AS subject_id,
@@ -1084,6 +1250,8 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "daily_stats_events": daily_stats,
         "asof_purchase_tolerance": asof_tolerance,
         "multilevel_events": multilevel,
+        "timing_stats_events": timing,
+        "conf_stats_events": conf,
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
         "cosine_topk": cosine_topk,
