@@ -228,6 +228,27 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level aggregation (A1 level='session' composed with W6):
+    sessionize, then one hash aggregation per (conv, session)."""
+    from feature_extraction_spark.ops.sessionize import sessionize
+
+    t = _events_as_transcripts(spark, sf_dir)
+    s = sessionize(t, gap_seconds=3600.0)
+    out = s.groupBy("conv_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("role") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.round(F.avg("value"), 6).alias("val_mean"),
+        F.round(F.stddev_pop("value"), 6).alias("val_std"),
+    )
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        "session_id", "n_events", "n_purchases", "val_mean", "val_std",
+    )
+
+
 def q_latency_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_extraction_spark.ops.windows import latency_stats
 
@@ -378,7 +399,7 @@ def q_multilevel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _events_as_transcripts(spark, sf_dir)
     out = multi_level_agg(
         t,
-        ["conv", "day", "subject"],
+        ["conv", "day", "week", "subject"],
         {
             "n_events": F.count(F.lit(1)),
             "val_sum": F.round(F.sum("value"), 3),
@@ -388,6 +409,7 @@ def q_multilevel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "level", "conv_id", "subject_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
         "n_events", "val_sum",
     )
 
@@ -620,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase": q_asof_purchase,
         "asof_purchase_broadcast": q_asof_purchase_broadcast,
         "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
         "latency_stats_events": q_latency_stats_events,
         "rolling_events_1h": q_rolling_events_1h,
         "backfill_purchase": q_backfill_purchase,
@@ -954,6 +977,25 @@ SELECT user_id, session_id::int AS session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+    session_stats = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, value,
+    sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id::int AS session_id,
+  count(*) AS n_events,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+  round(avg(value), 6) AS val_mean,
+  round(stddev_pop(value), 6) AS val_std
+FROM s GROUP BY user_id, session_id
+"""
+
     latency = """
 WITH g AS (
   SELECT user_id,
@@ -1159,18 +1201,20 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id
     multilevel = """
 WITH e AS (
   SELECT user_id::VARCHAR AS conv_id, user_id::VARCHAR AS subject_id,
-         ts::DATE AS d, value
+         ts::DATE AS d, date_trunc('week', ts)::DATE AS w, value
   FROM events
 )
 SELECT
   CASE WHEN conv_id IS NOT NULL THEN 'conv'
        WHEN d IS NOT NULL THEN 'day'
+       WHEN w IS NOT NULL THEN 'week'
        ELSE 'subject' END AS level,
   conv_id, subject_id, strftime(d, '%Y-%m-%d') AS day,
+  strftime(w, '%Y-%m-%d') AS week,
   count(*) AS n_events,
   round(sum(value), 3) AS val_sum
 FROM e
-GROUP BY GROUPING SETS ((conv_id), (subject_id, d), (subject_id))
+GROUP BY GROUPING SETS ((conv_id), (subject_id, d), (subject_id, w), (subject_id))
 """
 
     tpch_q3 = """
@@ -1240,6 +1284,7 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "asof_purchase": asof,
         "asof_purchase_broadcast": asof,
         "sessionize_events": sessionize,
+        "session_stats_events": session_stats,
         "latency_stats_events": latency,
         "rolling_events_1h": rolling,
         "backfill_purchase": backfill,
