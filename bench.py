@@ -120,7 +120,7 @@ def main() -> None:
         "tpch_q1", "exact_dedup_docs", "jaccard_pairs_docs",
         "minhash_pairs_docs", "cosine_topk", "liwc_docs", "quality_docs",
         "daily_stats_events", "asof_purchase_tolerance", "multilevel_events",
-        "tpch_q3",
+        "tpch_q3", "timing_stats_events", "session_stats_events",
     ]
     for name in headline:
         df = queries[name](spark, SF_DIR)
