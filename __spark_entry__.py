@@ -80,6 +80,26 @@ def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+def _pin_confs(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; pin the runtime confs the
+    engine's semantics depend on: non-ANSI division (x/0 -> NULL feeds the
+    NaN guards; Spark 4 defaults ANSI on, where it throws) and UTC session
+    TZ (unix_micros must agree with DuckDB's epoch_us on NTZ parquet)."""
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down -> proceed with session defaults
+
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_confs(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -614,6 +634,7 @@ def entry(spark: SparkSession) -> DataFrame:
         with_role_transition,
     )
 
+    _pin_confs(spark)
     t = _events_as_transcripts(spark, SF1)
     t = sessionize(t, gap_seconds=3600.0)
     t = with_role_transition(t)
@@ -628,7 +649,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    _q = {
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
         "nonverbal_docs": q_nonverbal_docs,
@@ -666,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs_emb": q_neardup_pairs_emb,
         "neardup_pairs_emb_lsh": q_neardup_pairs_emb_lsh,
     }
+    return {k: _pinned(f) for k, f in _q.items()}
 
 
 # ---------------------------------------------------------------- oracles
