@@ -487,6 +487,9 @@ def q_timing_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         wt.alias("word_timing"),
     )
+    from feature_extraction_spark.sources.io import ensure_parallelism
+
+    t = ensure_parallelism(t)  # single-file scan feeds 3 agg branches
     durations = (
         t.select("conv_id").distinct().withColumn("duration_ms", F.lit(600_000.0))
     )

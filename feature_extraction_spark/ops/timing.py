@@ -94,31 +94,55 @@ def timing_stats(
     keys = keys_for(level)
     t = with_turn_timing(df)
 
-    turn_agg = t.groupBy(*keys).agg(
-        *_bundle(F.col("seg_sec"), "segments"),
-        *_bundle(F.col("wps_seg"), "wps"),
-        F.sum("seg_sec").alias("spk_duration"),
-        F.count(F.lit(1)).cast("double").alias("segment_count"),
-        F.sum(F.when(F.col("seg_sec") <= 1.0, 1).otherwise(0))
+    # ONE tagged value stream + ONE conditional hash aggregation. The naive
+    # three-grain form (turn agg + word explode agg + silence explode agg,
+    # joined) evaluates the word_timing HOF chain once per grain and
+    # shuffles three times; higher-order array functions are interpreted
+    # (outside whole-stage codegen), so the repeated evaluation dominates.
+    # Tagging each value with its grain ('seg'/'wps'/'word'/'sil') costs one
+    # explode and shuffles once, with map-side partial aggregation.
+    def tag(k, v):
+        return F.struct(F.lit(k).alias("k"), v.cast("double").alias("v"))
+
+    stream = t.select(
+        *keys,
+        F.explode(
+            F.concat(
+                F.array(tag("seg", F.col("seg_sec"))),
+                F.array(tag("wps", F.col("wps_seg"))),
+                F.transform("word_durs_ms", lambda w: tag("word", w)),
+                F.transform("sil_durs_ms", lambda s: tag("sil", s)),
+            )
+        ).alias("e"),
+    ).select(*keys, F.col("e.k").alias("k"), F.col("e.v").alias("v"))
+
+    def _cond_bundle(kind: str, prefix: str):
+        v = F.when(F.col("k") == kind, F.col("v"))
+        return [
+            F.max(v).cast("double").alias(f"{prefix}_max"),
+            F.min(v).cast("double").alias(f"{prefix}_min"),
+            F.mean(v).alias(f"{prefix}_mean"),
+            F.median(v).alias(f"{prefix}_med"),
+            F.stddev_pop(v).alias(f"{prefix}_std"),
+        ]
+
+    seg_v = F.when(F.col("k") == "seg", F.col("v"))
+    out = stream.groupBy(*keys).agg(
+        *_cond_bundle("seg", "segments"),
+        *_cond_bundle("wps", "wps"),
+        *_cond_bundle("word", "words"),
+        *_cond_bundle("sil", "silences"),
+        F.sum(seg_v).alias("spk_duration"),
+        F.count(seg_v).cast("double").alias("segment_count"),
+        F.sum(F.when((F.col("k") == "seg") & (F.col("v") <= 1.0), 1).otherwise(0))
         .cast("double")
         .alias("short_utt_count"),
-    )
-
-    word_rows = t.select(*keys, F.explode("word_durs_ms").alias("wd"))
-    word_agg = word_rows.groupBy(*keys).agg(
-        *_bundle(F.col("wd"), "words"),
-        F.count(F.lit(1)).cast("double").alias("word_count"),
-    )
-
-    sil_rows = t.select(*keys, F.explode("sil_durs_ms").alias("sd"))
-    sil_agg = sil_rows.groupBy(*keys).agg(
-        *_bundle(F.col("sd"), "silences"),
-        F.count(F.lit(1)).cast("double").alias("sil_count"),
-        (F.sum("sd") * 0.001).alias("sil_duration"),
-    )
-
-    out = turn_agg.join(word_agg, on=keys, how="left").join(
-        sil_agg, on=keys, how="left"
+        F.count(F.when(F.col("k") == "word", 1)).cast("double").alias("word_count"),
+        F.count(F.when(F.col("k") == "sil", 1)).cast("double").alias("sil_count"),
+        (
+            F.coalesce(F.sum(F.when(F.col("k") == "sil", F.col("v"))), F.lit(0.0))
+            * 0.001
+        ).alias("sil_duration"),
     )
     # empty word/silence lists -> NaN bundles, zero counts (np.sum([]) == 0.0)
     for p in ("words", "silences"):
