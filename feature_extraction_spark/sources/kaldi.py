@@ -184,38 +184,51 @@ def kaldi_timing_stats(
             F.stddev_pop(col).alias(f"{prefix}_std"),
         ]
 
-    seg_agg = segment_times.groupBy(*keys).agg(
-        *bundle(F.col("seg_dur_sec"), "segments"),
-        *bundle(F.col("wps"), "wps"),
-        *bundle(F.col("pps"), "pps"),
-        F.sum("seg_dur_sec").alias("spk_duration"),
-        F.count(F.lit(1)).cast("double").alias("segment_count"),
-        F.sum(F.when(F.col("seg_dur_sec") <= 1.0, 1).otherwise(0))
+    # ONE tagged value stream + ONE conditional hash aggregation (same
+    # rationale as ops/timing.py:timing_stats): the per-grain form re-ran
+    # the whole upstream parse + island pipeline once per grain (4x) and
+    # shuffled 4 times + 3 joins.
+    def tag(k, v):
+        return F.struct(F.lit(k).alias("k"), v.cast("double").alias("v"))
+
+    stream = segment_times.select(
+        *keys,
+        F.explode(
+            F.concat(
+                F.array(tag("seg", F.col("seg_dur_sec"))),
+                F.array(tag("wps", F.col("wps"))),
+                F.array(tag("pps", F.col("pps"))),
+                F.transform("word_durs_ms", lambda w: tag("word", w)),
+                F.transform("phone_durs_ms", lambda p: tag("phone", p)),
+                F.transform("sil_durs_ms", lambda s: tag("sil", s)),
+            )
+        ).alias("e"),
+    ).select(*keys, F.col("e.k").alias("k"), F.col("e.v").alias("v"))
+
+    def cond_bundle(kind, prefix):
+        v = F.when(F.col("k") == kind, F.col("v"))
+        return bundle(v, prefix)
+
+    seg_v = F.when(F.col("k") == "seg", F.col("v"))
+    out = stream.groupBy(*keys).agg(
+        *cond_bundle("seg", "segments"),
+        *cond_bundle("wps", "wps"),
+        *cond_bundle("pps", "pps"),
+        *cond_bundle("word", "words"),
+        *cond_bundle("phone", "phones"),
+        *cond_bundle("sil", "silences"),
+        F.sum(seg_v).alias("spk_duration"),
+        F.count(seg_v).cast("double").alias("segment_count"),
+        F.sum(F.when((F.col("k") == "seg") & (F.col("v") <= 1.0), 1).otherwise(0))
         .cast("double")
         .alias("short_utt_count"),
-    )
-
-    def grain(arr_col, prefix, extra=()):
-        rows = segment_times.select(*keys, F.explode(arr_col).alias("v"))
-        return rows.groupBy(*keys).agg(
-            *bundle(F.col("v"), prefix),
-            F.count(F.lit(1)).cast("double").alias(f"{prefix[:-1]}_count"
-                                                   if prefix.endswith("s")
-                                                   else f"{prefix}_count"),
-            *extra,
-        )
-
-    word_agg = grain("word_durs_ms", "words")
-    phone_agg = grain("phone_durs_ms", "phones")
-    sil_agg = grain(
-        "sil_durs_ms", "silences", extra=((F.sum("v") * 0.001).alias("sil_duration"),)
-    )
-    sil_agg = sil_agg.withColumnRenamed("silence_count", "sil_count")
-
-    out = (
-        seg_agg.join(word_agg, keys, "left")
-        .join(phone_agg, keys, "left")
-        .join(sil_agg, keys, "left")
+        F.count(F.when(F.col("k") == "word", 1)).cast("double").alias("word_count"),
+        F.count(F.when(F.col("k") == "phone", 1)).cast("double").alias("phone_count"),
+        F.count(F.when(F.col("k") == "sil", 1)).cast("double").alias("sil_count"),
+        (
+            F.coalesce(F.sum(F.when(F.col("k") == "sil", F.col("v"))), F.lit(0.0))
+            * 0.001
+        ).alias("sil_duration"),
     )
     for p in ("words", "silences", "phones"):
         for s in ("max", "min", "mean", "med", "std"):
