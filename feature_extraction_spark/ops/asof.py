@@ -150,3 +150,30 @@ def asof_join_broadcast(
         out = out.withColumn(f"{c}{suffix}", match[c])
     out = out.withColumn(f"{ts_col}{suffix}", match["_ts"]).drop("_series")
     return out
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    broadcast_threshold_rows: int = 1_000_000,
+    **kwargs,
+) -> DataFrame:
+    """Strategy-picking as-of join (SURVEY.md §2.3 J5: "broadcast fallback
+    for skewed conv_ids / small right sides").
+
+    Probes the right side with a bounded count (``limit(n+1).count()`` —
+    the scan stops once the limit is hit, so the probe costs O(threshold)
+    rows, not a full pass): at or below the threshold the right side packs
+    into per-key sorted arrays and broadcasts (no shuffle of the fact side,
+    immune to left-key skew); above it, the union-tag sort-merge shape
+    shuffles both sides once by key. On a real deployment the row estimate
+    would come from table statistics instead of the probe."""
+    thr = broadcast_threshold_rows
+    n = right.limit(thr + 1).count()
+    # the broadcast variant has no tolerance path; a requested tolerance
+    # routes through the sort-merge shape regardless of size
+    if n <= thr and kwargs.get("tolerance_s") is None:
+        kwargs.pop("tolerance_s", None)
+        return asof_join_broadcast(left, right, on, **kwargs)
+    return asof_join(left, right, on, **kwargs)

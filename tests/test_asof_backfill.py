@@ -131,3 +131,39 @@ def test_backfill_locf(spark):
     assert got[:5] == [1.0, 1.0, 1.0, 4.0, 4.0]
     assert np.isnan(got[5]) or got[5] is None
     assert got[6] == 7.0
+
+
+def test_asof_join_auto_picks_strategy(spark, asof_inputs):
+    """auto == both fixed strategies on the same input; threshold routes."""
+    from pyspark.sql import functions as F
+
+    from feature_extraction_spark.ops.asof import (
+        asof_join,
+        asof_join_auto,
+        asof_join_broadcast,
+    )
+
+    left, right = asof_inputs
+
+    def vals(df):
+        return sorted(
+            (r["conv_id"], r["us"],
+             None if r["score_asof"] is None else round(r["score_asof"], 9))
+            for r in df.select(
+                "conv_id", F.unix_micros("ts").alias("us"), "score_asof"
+            ).collect()
+        )
+
+    base = vals(asof_join(left, right, on="conv_id", value_cols=["score"]))
+    # low threshold -> union-tag path; high threshold -> broadcast path
+    assert vals(
+        asof_join_auto(left, right, on="conv_id", broadcast_threshold_rows=0,
+                       value_cols=["score"])
+    ) == base
+    assert vals(
+        asof_join_auto(left, right, on="conv_id",
+                       broadcast_threshold_rows=10**6, value_cols=["score"])
+    ) == base
+    assert vals(
+        asof_join_broadcast(left, right, on="conv_id", value_cols=["score"])
+    ) == base
