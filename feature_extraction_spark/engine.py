@@ -94,6 +94,14 @@ class FeaturePipeline:
 
     def _write_lineage(self, path: str, name: str):
         m = next(x for x in reversed(self.metrics) if x.step == name)
+        # per-partition breakdown: one output file per write partition, so
+        # the file list IS the partition-level lineage (north_rule:
+        # "checkpoints per-partition lineage + row-count/bytes metrics")
+        partitions = [
+            {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
         with open(os.path.join(path, "_lineage.json"), "w") as f:
             json.dump(
                 {
@@ -103,6 +111,7 @@ class FeaturePipeline:
                     "files": m.files,
                     "wall_s": round(m.wall_s, 3),
                     "resumed": m.resumed,
+                    "partitions": partitions,
                 },
                 f,
             )
