@@ -96,17 +96,31 @@ def liwc_features(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
+    # ONE tagged token stream shared by all three consumers (num-words,
+    # exact match, wildcard prefix match). The gram construction is a
+    # higher-order-function chain (interpreted, outside codegen); the
+    # explicit repartition gives all consumers the same exchange, so the
+    # chain is evaluated once per shuffle instead of once per branch.
+    def tagged(arr, n):
+        return F.transform(
+            arr, lambda t: F.struct(F.lit(n).alias("n"), t.alias("tok"))
+        )
+
     toks = transcripts.select(
         *keys,
         F.explode(
-            F.concat(words, grams(2), grams(3))
-        ).alias("tok"),
-        F.size(words).alias("_nw"),
-    )
+            F.concat(tagged(words, 1), tagged(grams(2), 2), tagged(grams(3), 3))
+        ).alias("e"),
+    ).select(*keys, F.col("e.n").alias("_n"), F.col("e.tok").alias("tok"))
+    # hash over (keys, tok): balanced even when one entity dominates (the
+    # downstream agg is map-side-combinable and the dict joins broadcast,
+    # so no consumer needs entity co-location)
+    toks = toks.repartition(*keys, "tok")
 
-    # num_words per entity (unigrams only)
-    nw = transcripts.groupBy(*keys).agg(
-        F.sum(F.size(words)).cast("double").alias("_num_words")
+    # num_words per entity = count of unigram tokens (split keeps empties,
+    # so this equals sum(size(words)) — reference F1 semantics)
+    nw = toks.filter(F.col("_n") == 1).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("_num_words")
     )
 
     exact_df = spark.createDataFrame(dic.exact, "tok string, cat string")
