@@ -139,3 +139,78 @@ def test_multimodal_stub_plumbing(spark):
     again = extract_image_features(synth_media(spark, n=60), dim=8).toPandas()
     assert feats.sort_values("media_id")["feat"].map(tuple).tolist() == \
         again.sort_values("media_id")["feat"].map(tuple).tolist()
+
+
+def test_stream_turn_rates_matches_batch(spark, transcripts, tmp_path):
+    """Sliding-window rates: streaming complete-mode output == batch
+    window() aggregation, exactly."""
+    from feature_extraction_spark.streaming.sessions import stream_turn_rates
+
+    src = str(tmp_path / "rates_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(transcripts.schema).parquet(src)
+    q = (
+        stream_turn_rates(stream, window="10 minutes", slide="5 minutes")
+        .writeStream.format("memory")
+        .queryName("rates_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("rates_mem")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        transcripts.groupBy(
+            F.window("ts", "10 minutes", "5 minutes"), F.col("conv_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.avg(F.col("tool").isNotNull().cast("double")).alias("tool_rate"),
+        )
+        .select(
+            "conv_id",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_turns",
+            "tool_rate",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n_turns"].values == exp["n_turns"].values).all()
+    import numpy as np
+
+    assert np.allclose(got["tool_rate"], exp["tool_rate"])
+
+
+def test_stream_dedup_turns(spark, transcripts, tmp_path):
+    """dropDuplicatesWithinWatermark removes exact (conv_id, turn_idx)
+    duplicates injected into the stream."""
+    from feature_extraction_spark.streaming.sessions import stream_dedup_turns
+
+    dup = transcripts.unionByName(transcripts.limit(50))
+    src = str(tmp_path / "dedup_src")
+    dup.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(dup.schema).parquet(src)
+    out_path = str(tmp_path / "dedup_out")
+    q = (
+        stream_dedup_turns(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    n_unique = transcripts.select("conv_id", "turn_idx").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
