@@ -515,6 +515,41 @@ def q_conf_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, ["conf_max", "conf_mean", "conf_std", "conf_min", "conf_med"])
 
 
+def q_hypothesis_mean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 cross-hypothesis mean: 3 deterministic 'ASR hypotheses' per doc
+    (full text / drop first word / drop last word), per-hypothesis features
+    averaged per entity — the reference's mean-across-hypotheses
+    (archived/extract_transcript_feats.py:133-142)."""
+    from feature_extraction_spark.sources.hypotheses import mean_across_hypotheses
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ", -1)
+    tail = F.concat_ws(
+        " ", F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    )
+    init = F.concat_ws(
+        " ", F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0)))
+    )
+    hyps = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("h0").alias("hypothesis_id"), F.col("text").alias("htext")),
+                F.struct(F.lit("h1").alias("hypothesis_id"), tail.alias("htext")),
+                F.struct(F.lit("h2").alias("hypothesis_id"), init.alias("htext")),
+            )
+        ).alias("h"),
+    ).select("doc_id", "h.hypothesis_id", "h.htext")
+    feats = hyps.select(
+        "doc_id",
+        "hypothesis_id",
+        F.size(F.split("htext", " ", -1)).cast("double").alias("n_words"),
+        F.length("htext").cast("double").alias("n_chars"),
+    )
+    out = mean_across_hypotheses(feats, ["doc_id"])
+    return _r6(out, ["n_words", "n_chars"])
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing (rows-only: Arrow-batched
     mapInPandas decode over a deterministic synthetic media table; codecs
@@ -680,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilevel_events": q_multilevel_events,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "hypothesis_mean_docs": q_hypothesis_mean_docs,
         "timing_stats_events": q_timing_stats_events,
         "conf_stats_events": q_conf_stats_events,
         "tpch_q1": q_tpch_q1,
@@ -1213,6 +1249,26 @@ SELECT user_id,
 FROM j
 """
 
+    hyp_mean = """
+WITH w AS (
+  SELECT doc_id, text, str_split(text, ' ') AS words FROM documents
+), h AS (
+  SELECT doc_id, text AS htext FROM w
+  UNION ALL
+  SELECT doc_id, array_to_string(words[2:len(words)], ' ') FROM w
+  UNION ALL
+  SELECT doc_id, array_to_string(words[1:len(words)-1], ' ') FROM w
+), f AS (
+  SELECT doc_id,
+    len(str_split(htext, ' '))::DOUBLE AS n_words,
+    length(htext)::DOUBLE AS n_chars
+  FROM h
+)
+SELECT doc_id, round(avg(n_words), 6) AS n_words,
+       round(avg(n_chars), 6) AS n_chars
+FROM f GROUP BY doc_id
+"""
+
     conf = """
 SELECT user_id,
   round(max(value), 6) AS conf_max,
@@ -1320,6 +1376,7 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "daily_stats_events": daily_stats,
         "asof_purchase_tolerance": asof_tolerance,
         "multilevel_events": multilevel,
+        "hypothesis_mean_docs": hyp_mean,
         "timing_stats_events": timing,
         "conf_stats_events": conf,
         "tpch_q1": tpch_q1,
