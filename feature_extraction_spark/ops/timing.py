@@ -40,8 +40,17 @@ def _bundle(col, prefix: str):
 
 def with_turn_timing(df: DataFrame) -> DataFrame:
     """Add per-turn timing intermediates: seg_sec, word_durs_ms (array),
-    sil_durs_ms (array, zero-filtered), wps_seg."""
-    wt = F.col("word_timing")
+    sil_durs_ms (array, zero-filtered), wps_seg.
+
+    NULL ``word_timing`` (no word-level ASR output for the turn) is treated
+    as an EMPTY word list: the turn still contributes to the segment-grain
+    stats with wps 0, and emits no word/silence rows — same as the pandas
+    oracle kernel. Without the coalesce, downstream ``F.concat`` of the
+    arrays would go NULL and silently drop the turn from ALL aggregates."""
+    wt = F.coalesce(
+        F.col("word_timing"),
+        F.array().cast("array<struct<Word:string,Duration:bigint,Offset:bigint>>"),
+    )
     seg_sec = F.col("duration").cast("double") * 1e-7
 
     word_durs = F.transform(wt, lambda w: w["Duration"].cast("double") * 1e-4)

@@ -98,3 +98,33 @@ def test_confidence_parity(spark, segments):
         row = got.loc[conv_id]
         for f in ("conf_max", "conf_mean", "conf_std", "conf_min", "conf_med"):
             assert np.allclose(row[f], exp[f], equal_nan=True)
+
+
+def test_timing_null_word_timing(spark, segments):
+    """NULL word_timing (no ASR word output) must NOT drop the turn from the
+    segment-grain aggregates (regression: F.concat of a NULL array is NULL,
+    which exploded to zero rows). The turn counts in segment stats with
+    wps 0 (same as an empty word list) and emits no word/silence rows."""
+    import pyspark.sql.functions as F
+
+    one_conv = segments.select("conv_id").limit(1).collect()[0][0]
+    sub = segments.filter(F.col("conv_id") == one_conv)
+    n_turns = sub.count()
+    nulled = sub.withColumn(
+        "word_timing",
+        F.when(F.col("turn_idx") == 0, F.lit(None)).otherwise(
+            F.col("word_timing")
+        ),
+    )
+    base = timing_stats(sub, level="conv").collect()[0]
+    got = timing_stats(nulled, level="conv").collect()[0]
+    # every turn still counted at the segment grain
+    assert got["segment_count"] == float(n_turns) == base["segment_count"]
+    assert np.isclose(got["spk_duration"], base["spk_duration"])
+    # an all-NULL-word_timing entity still yields a row
+    all_null = sub.withColumn("word_timing", F.lit(None).cast(sub.schema["word_timing"].dataType))
+    row = timing_stats(all_null, level="conv").collect()[0]
+    assert row["segment_count"] == float(n_turns)
+    assert row["word_count"] == 0.0 and row["sil_count"] == 0.0
+    assert np.isnan(row["words_mean"]) and np.isnan(row["silences_mean"])
+    assert row["wps_mean"] == 0.0  # NULL word list ≡ empty list -> wps 0
