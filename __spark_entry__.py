@@ -221,16 +221,30 @@ def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verification. 128 perms x 32
+    bands (4 rows/band): P(miss) per 0.8-similar pair ~(1-0.8^4)^32 = 4e-8,
+    so the output equals the exact Jaccard>=0.8 pair set and the query is
+    value-checked against the plain-SQL oracle (verified equal at sf0.001
+    and sf0.01)."""
     from feature_extraction_spark.ops.dedup import minhash_lsh_dedup
 
-    out = minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.8)
+    out = minhash_lsh_dedup(
+        _docs(spark, sf_dir), threshold=0.8, num_hashes=128, bands=32
+    )
     return _r6(out, ["jaccard"])
 
 
 def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from feature_extraction_spark.ops.dedup import simhash_pairs
+    """SimHash chunk-banding candidates (hamming<=15, 16 chunks x 4 bits) +
+    exact-Jaccard verification; output equals the exact Jaccard>=0.8 pair
+    set (SimHash recall 1.0 at this bound on the testdata — asserted in
+    tests), so the query is value-checked against the SQL oracle."""
+    from feature_extraction_spark.ops.dedup import simhash_neardup_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    out = simhash_neardup_pairs(
+        _docs(spark, sf_dir), max_hamming=15, threshold=0.8
+    )
+    return _r6(out, ["jaccard"])
 
 
 def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,14 +457,21 @@ def q_asof_purchase_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Speech-graph metrics (applyInPandas kernel) — rows-only check: the
-    networkx kernel (LCC/LSC/diameter...) is not SQL-expressible."""
+    """Speech-graph metrics (applyInPandas networkx kernel), restricted to
+    the columns a plain-SQL oracle can recompute from first principles
+    (nodes / edges / degree / parallel-edge / self-loop / density counts
+    over all three graph variants) so the driver check is value-level.
+    The iterative metrics (lcc/lsc/diameter/asp) stay covered by the
+    hand-computed pytest oracles (tests/test_pos_graph_liwc.py)."""
     from feature_extraction_spark.ops.graph import graph_features
 
     t = _docs_as_transcripts(spark, sf_dir, "source")
     out = graph_features(t, level="conv").withColumnRenamed("conv_id", "source")
     keep = ["source", "num_nodes_naive", "num_edges_naive", "ave_degree_naive",
-            "lcc_naive", "lsc_naive", "num_nodes_lemma", "num_edges_pos"]
+            "num_p_edges_naive", "l1_naive", "d_naive",
+            "num_nodes_lemma", "num_edges_lemma",
+            "num_nodes_pos", "num_edges_pos", "num_p_edges_pos",
+            "num_nodes_naive_norm"]
     return _r6(out.select(*keep), keep[1:])
 
 
@@ -686,21 +707,30 @@ def q_neardup_pairs_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_pairs_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via hyperplane-LSH banding (rows-only: seeded
-    hash planes are not SQL-expressible; recall vs exact tested)."""
+    """Embedding near-dup via hyperplane-LSH banding + exact cosine verify.
+    At threshold 0.35 (the low-similarity regime of this near-orthogonal
+    testdata) recall-1.0 needs shallow tables: 2 planes x 16 tables gives
+    per-pair miss prob (1-p^2)^16 ~ 5e-4 at s=0.35 and the output equals
+    the exact pair set at sf0.001/sf0.01 (verified), so the query is
+    value-checked against the exact-cosine SQL oracle. Production-threshold
+    (0.9) configs use deeper tables (8 planes x 4)."""
     from feature_extraction_spark.ops.similarity import cosine_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_neardup_pairs(emb, threshold=0.35, method="lsh", planes=4, tables=8)
+    out = cosine_neardup_pairs(emb, threshold=0.35, method="lsh", planes=2, tables=16)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k, re-ranked exactly. With 2 planes x 16 tables
+    the candidate buckets contain the true top-10 at sf0.001/sf0.01
+    (verified), so the result equals exact cosine_topk and the query is
+    value-checked against the same SQL oracle."""
     from feature_extraction_spark.ops.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = lsh_topk(emb, [float(x) for x in qvec], k=10)
+    out = lsh_topk(emb, [float(x) for x in qvec], k=10, planes=2, tables=16)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -792,38 +822,45 @@ _SHINGLES3 = (
 )
 
 
-def _pos_docs_sql() -> str:
-    """DuckDB oracle for pos_docs, GENERATED from the same lexicon constants
-    as the Spark tagger (functions/postag.py) so the two cannot drift."""
+def _tag_case_sql(lw: str = "lw", w: str = "w") -> str:
+    """Penn-tag CASE expression template, GENERATED from the same lexicon
+    constants as the Spark tagger (functions/postag.py) so the two cannot
+    drift. ``lw``/``w`` are the SQL expressions for the normalized and raw
+    word (``lw`` may be an inline expression for use inside lambdas)."""
     from feature_extraction_spark.functions import postag as P
 
     def lst(ws):
-        return ",".join(f"'{w.replace(chr(39), chr(39) * 2)}'" for w in ws)
+        return ",".join(f"'{x.replace(chr(39), chr(39) * 2)}'" for x in ws)
 
-    tag_case = f"""CASE
-      WHEN lw = '' THEN 'NN'
-      WHEN lw IN ({lst(P.DETERMINERS)}) THEN 'DT'
-      WHEN lw IN ({lst(P.CONJUNCTIONS)}) THEN 'CC'
-      WHEN lw IN ({lst(P.PRONOUNS)}) THEN 'PRP'
-      WHEN lw IN ({lst(P.POSS_PRONOUNS)}) THEN 'PRP$'
-      WHEN lw IN ({lst(P.WH_DET)}) THEN 'WDT'
-      WHEN lw IN ({lst(P.WH_ADV)}) THEN 'WRB'
-      WHEN lw IN ({lst(P.WH_P)}) THEN 'WP'
-      WHEN lw IN ({lst(P.WH_PS)}) THEN 'WP$'
-      WHEN lw IN ({lst(P.INTERJECTIONS)}) THEN 'UH'
-      WHEN lw IN ({lst(P.MODALS)}) THEN 'MD'
-      WHEN lw IN ({lst(P.COMMON_VERBS)}) THEN 'VB'
-      WHEN lw = 'to' THEN 'TO'
-      WHEN lw IN ({lst(P.PREPOSITIONS)}) THEN 'IN'
-      WHEN lw IN ({lst(P.ADVERBS)}) OR lw LIKE '%ly' THEN 'RB'
-      WHEN regexp_matches(lw, '^[0-9]') THEN 'CD'
-      WHEN lw LIKE '%ing' THEN 'VBG'
-      WHEN lw LIKE '%ed' THEN 'VBD'
-      WHEN lw LIKE '%ous' OR lw LIKE '%ful' OR lw LIKE '%able'
-        OR lw LIKE '%ible' OR lw LIKE '%ive' OR lw LIKE '%al'
-        OR lw LIKE '%ic' THEN 'JJ'
-      WHEN regexp_matches(substring(w, 1, 1), '^[A-Z]') THEN 'NNP'
+    return f"""CASE
+      WHEN {lw} = '' THEN 'NN'
+      WHEN {lw} IN ({lst(P.DETERMINERS)}) THEN 'DT'
+      WHEN {lw} IN ({lst(P.CONJUNCTIONS)}) THEN 'CC'
+      WHEN {lw} IN ({lst(P.PRONOUNS)}) THEN 'PRP'
+      WHEN {lw} IN ({lst(P.POSS_PRONOUNS)}) THEN 'PRP$'
+      WHEN {lw} IN ({lst(P.WH_DET)}) THEN 'WDT'
+      WHEN {lw} IN ({lst(P.WH_ADV)}) THEN 'WRB'
+      WHEN {lw} IN ({lst(P.WH_P)}) THEN 'WP'
+      WHEN {lw} IN ({lst(P.WH_PS)}) THEN 'WP$'
+      WHEN {lw} IN ({lst(P.INTERJECTIONS)}) THEN 'UH'
+      WHEN {lw} IN ({lst(P.MODALS)}) THEN 'MD'
+      WHEN {lw} IN ({lst(P.COMMON_VERBS)}) THEN 'VB'
+      WHEN {lw} = 'to' THEN 'TO'
+      WHEN {lw} IN ({lst(P.PREPOSITIONS)}) THEN 'IN'
+      WHEN {lw} IN ({lst(P.ADVERBS)}) OR {lw} LIKE '%ly' THEN 'RB'
+      WHEN regexp_matches({lw}, '^[0-9]') THEN 'CD'
+      WHEN {lw} LIKE '%ing' THEN 'VBG'
+      WHEN {lw} LIKE '%ed' THEN 'VBD'
+      WHEN {lw} LIKE '%ous' OR {lw} LIKE '%ful' OR {lw} LIKE '%able'
+        OR {lw} LIKE '%ible' OR {lw} LIKE '%ive' OR {lw} LIKE '%al'
+        OR {lw} LIKE '%ic' THEN 'JJ'
+      WHEN regexp_matches(substring({w}, 1, 1), '^[A-Z]') THEN 'NNP'
       ELSE 'NN' END"""
+
+
+def _pos_docs_sql() -> str:
+    """DuckDB oracle for pos_docs (tag CASE shared with the graph oracle)."""
+    tag_case = _tag_case_sql()
 
     wp = "(tag LIKE 'W%' AND substring(tag,2,1) NOT IN ('D','R') AND tag LIKE '%P')"
     wps = "(tag LIKE 'W%' AND substring(tag,2,1) NOT IN ('D','R') AND NOT tag LIKE '%P')"
@@ -912,6 +949,101 @@ counts AS (SELECT source, {counts} FROM toks GROUP BY source)
 SELECT nw.source,
   {props}
 FROM nw LEFT JOIN counts ON nw.source = counts.source
+"""
+
+
+def _graph_docs_sql() -> str:
+    """DuckDB oracle for graph_docs: rebuilds the three word-adjacency
+    multigraphs (naive / lemma / pos) from first principles — token lists,
+    consecutive-pair edge lists, per-(u,v) multiplicities — and recomputes
+    the counting metrics. The lemma CASE and tag CASE are generated from
+    the same rules/lexicons as the Spark kernel so they cannot drift."""
+    lemma_case = (
+        "CASE "
+        "WHEN length({w}) > 4 AND lower({w}) LIKE '%ies' "
+        "THEN substring({w}, 1, length({w})-3) || 'y' "
+        "WHEN length({w}) > 3 AND lower({w}) LIKE '%sses' "
+        "THEN substring({w}, 1, length({w})-2) "
+        "WHEN length({w}) > 3 AND lower({w}) LIKE '%s' AND NOT ("
+        "lower({w}) LIKE '%ss' OR lower({w}) LIKE '%us' OR lower({w}) LIKE '%is')"
+        " THEN substring({w}, 1, length({w})-1) "
+        "ELSE {w} END"
+    ).format(w="w")
+    tag_lw = "lower(regexp_replace(lower(w), '[.,!?;:]+$', ''))"
+    tag_case = _tag_case_sql(lw=tag_lw, w="w")
+
+    per_variant = ""
+    for v in ("naive", "lemma", "pos"):
+        per_variant += f"""
+edges_{v} AS (
+  SELECT source, e[1] AS u, e[2] AS v FROM (
+    SELECT source, unnest(CASE WHEN len({v}) >= 2 THEN
+      list_transform(generate_series(1, len({v})-1), i -> [{v}[i], {v}[i+1]])
+      ELSE CAST([] AS VARCHAR[][]) END) AS e
+    FROM toks)
+),
+pairs_{v} AS (
+  SELECT source, u, v, count(*) AS occ FROM edges_{v} GROUP BY source, u, v
+),
+agg_{v} AS (
+  SELECT source,
+    sum(occ)::DOUBLE AS E,
+    sum(occ - 1)::DOUBLE AS PE,
+    sum(CASE WHEN u = v THEN occ ELSE 0 END)::DOUBLE AS l1,
+    sum(CASE WHEN u = v THEN occ - 1 ELSE 0 END)::DOUBLE AS pel1
+  FROM pairs_{v} GROUP BY source
+),
+nodes_{v} AS (
+  SELECT source, count(DISTINCT t)::DOUBLE AS N
+  FROM (SELECT source, unnest({v}) AS t FROM toks) GROUP BY source
+),"""
+
+    return rf"""
+WITH d AS (
+  SELECT source,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS naive,
+    list_filter(str_split(text, ' '), x -> x <> '') AS mixed
+  FROM documents
+), toks AS (
+  SELECT source, naive,
+    list_transform(mixed, w -> {lemma_case}) AS lemma,
+    list_transform(mixed, w -> {tag_case}) AS pos,
+    len(mixed) AS wc
+  FROM d
+), wctab AS (SELECT source, sum(wc) AS wc FROM toks GROUP BY source),{per_variant}
+j AS (
+  SELECT wctab.source, wctab.wc,
+    coalesce(nn.N, 0) AS n_n, coalesce(an.E, 0) AS e_n,
+    coalesce(an.PE, 0) AS pe_n, coalesce(an.l1, 0) AS l1_n,
+    coalesce(an.pel1, 0) AS pel1_n,
+    coalesce(nl.N, 0) AS n_l, coalesce(al.E, 0) AS e_l,
+    coalesce(np.N, 0) AS n_p, coalesce(ap.E, 0) AS e_p,
+    coalesce(ap.PE, 0) AS pe_p
+  FROM wctab
+  LEFT JOIN nodes_naive nn USING (source)
+  LEFT JOIN agg_naive an USING (source)
+  LEFT JOIN nodes_lemma nl USING (source)
+  LEFT JOIN agg_lemma al USING (source)
+  LEFT JOIN nodes_pos np USING (source)
+  LEFT JOIN agg_pos ap USING (source)
+)
+SELECT source,
+  round(n_n, 6) AS num_nodes_naive,
+  round(e_n, 6) AS num_edges_naive,
+  round(CASE WHEN n_n > 0 THEN 2 * e_n / n_n ELSE 'nan'::DOUBLE END, 6)
+    AS ave_degree_naive,
+  round(pe_n, 6) AS num_p_edges_naive,
+  round(l1_n, 6) AS l1_naive,
+  round(CASE WHEN n_n > 0 THEN (e_n - (l1_n + pe_n - pel1_n)) / (n_n * n_n)
+        ELSE 'nan'::DOUBLE END, 6) AS d_naive,
+  round(n_l, 6) AS num_nodes_lemma,
+  round(e_l, 6) AS num_edges_lemma,
+  round(n_p, 6) AS num_nodes_pos,
+  round(e_p, 6) AS num_edges_pos,
+  round(pe_p, 6) AS num_p_edges_pos,
+  round(CASE WHEN wc > 0 THEN n_n / wc ELSE 'nan'::DOUBLE END, 6)
+    AS num_nodes_naive_norm
+FROM j
 """
 
 
@@ -1036,7 +1168,8 @@ WITH h AS (SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents)
 SELECT min(doc_id) AS doc_id FROM h GROUP BY fp
 """
 
-    jaccard_pairs = f"""
+    def jaccard_sql(threshold: float) -> str:
+        return f"""
 WITH d AS (
   SELECT doc_id, str_split({_NORM.format(c='text')}, ' ') AS w FROM documents
 ), sh AS (
@@ -1053,8 +1186,15 @@ SELECT id_a, id_b,
 FROM common
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE c::double / (sa.sz + sb.sz - c) >= 0.6
+WHERE c::double / (sa.sz + sb.sz - c) >= {threshold}
 """
+
+    jaccard_pairs = jaccard_sql(0.6)
+    # minhash / simhash driver queries are candidate-generation + exact
+    # Jaccard verification at threshold 0.8 with full-recall configs
+    # (verified at sf0.001/sf0.01), so their value-level oracle is the
+    # exact Jaccard pair set at 0.8.
+    jaccard_pairs_08 = jaccard_sql(0.8)
 
     asof = """
 WITH p AS (
@@ -1408,6 +1548,8 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "fingerprint_docs": fingerprint,
         "exact_dedup_docs": exact_dedup,
         "jaccard_pairs_docs": jaccard_pairs,
+        "minhash_pairs_docs": jaccard_pairs_08,
+        "simhash_pairs_docs": jaccard_pairs_08,
         "asof_purchase": asof,
         "asof_purchase_broadcast": asof,
         "sessionize_events": sessionize,
@@ -1430,7 +1572,13 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "cosine_topk": cosine_topk,
         "knn_join": knn,
         "neardup_pairs_emb": neardup_emb,
-        # minhash_pairs_docs / simhash_pairs_docs / lsh_topk / ivf_topk /
-        # graph_docs: rows-only (hash-seeded approximate ops and the
-        # networkx grouped-map kernel are not SQL-expressible in DuckDB).
+        # LSH queries re-rank/verify candidates EXACTLY and run full-recall
+        # configs on the driver testdata (verified), so the exact-cosine
+        # oracles apply at value level.
+        "neardup_pairs_emb_lsh": neardup_emb,
+        "lsh_topk": cosine_topk,
+        "graph_docs": _graph_docs_sql(),
+        # ivf_topk / multimodal_features stay rows-only: the seeded-sample
+        # Lloyd quantizer and the stubbed media codecs are not
+        # SQL-expressible in DuckDB.
     }

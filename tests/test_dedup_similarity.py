@@ -169,3 +169,20 @@ def test_fingerprint_stable(docs):
     a = with_fingerprint(docs).select("doc_id", "fingerprint_md5").toPandas()
     b = with_fingerprint(docs).select("doc_id", "fingerprint_md5").toPandas()
     assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+
+
+def test_simhash_neardup_full_recall(docs):
+    """The driver config (hamming<=15 candidates + exact Jaccard>=0.8
+    verify) must emit EXACTLY the exact-Jaccard pair set — this is what
+    makes simhash_pairs_docs value-checkable against the SQL oracle."""
+    from feature_extraction_spark.ops.dedup import simhash_neardup_pairs
+
+    got = simhash_neardup_pairs(docs, max_hamming=15, threshold=0.8).toPandas()
+    exact = ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=None).toPandas()
+    got_set = {(r.id_a, r.id_b) for r in got.itertuples()}
+    exp_set = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    assert got_set == exp_set
+    # and the emitted metric is the exact jaccard
+    ej = {(r.id_a, r.id_b): r.jaccard for r in exact.itertuples()}
+    for r in got.itertuples():
+        assert np.isclose(r.jaccard, ej[(r.id_a, r.id_b)])
