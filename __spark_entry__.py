@@ -1089,11 +1089,11 @@ WITH d AS (
   FROM documents
 ), m AS (
   SELECT doc_id, n, words,
-    round(CASE WHEN n >= 10 THEN list_avg(list_transform(generate_series(1, n-9),  i -> len(list_distinct(words[i:i+9]))/10.0))
+    round(CASE WHEN n >= 10 THEN list_sum(list_transform(generate_series(1, n-9),  i -> len(list_distinct(words[i:i+9]))))::DOUBLE / (10.0 * (n-9))
          ELSE len(list_distinct(words))/(n*1.0) END, 6) AS MATTR_10,
-    round(CASE WHEN n >= 25 THEN list_avg(list_transform(generate_series(1, n-24), i -> len(list_distinct(words[i:i+24]))/25.0))
+    round(CASE WHEN n >= 25 THEN list_sum(list_transform(generate_series(1, n-24), i -> len(list_distinct(words[i:i+24]))))::DOUBLE / (25.0 * (n-24))
          ELSE len(list_distinct(words))/(n*1.0) END, 6) AS MATTR_25,
-    round(CASE WHEN n >= 50 THEN list_avg(list_transform(generate_series(1, n-49), i -> len(list_distinct(words[i:i+49]))/50.0))
+    round(CASE WHEN n >= 50 THEN list_sum(list_transform(generate_series(1, n-49), i -> len(list_distinct(words[i:i+49]))))::DOUBLE / (50.0 * (n-49))
          ELSE len(list_distinct(words))/(n*1.0) END, 6) AS MATTR_50
   FROM d
 ), counts AS (

@@ -11,10 +11,16 @@ Spark-first rebuild:
   single-space splits (identical to the reference driver's
   ``" ".join(texts).split(" ")`` — one space between turns means the flatten
   of per-turn splits equals the split of the join).
-- MATTR window w: per-word ``size(collect_set(word)) / w`` over a
-  rows-frame [0, w-1), averaged over positions 0..n-w; O(n·w) but fully
-  JVM-side, distributed, and w<=50. Short groups (n < w) fall back to a
-  single window of size n -> countDistinct/n, matching the reference.
+- MATTR window w in O(n) (no per-position sets): a token at position p
+  whose previous same-word occurrence is at q (0 if none) is the *first*
+  occurrence of its type inside exactly the windows starting in
+  ``(max(q, p-w+1-1), p]`` clipped to the valid starts ``[1, n-w+1]`` —
+  so ``sum(distinct-count over windows) = sum(per-token interval length)``
+  and ``MATTR_w = sum / (w * (n-w+1))``. One ``lag`` over (entity, word)
+  + one aggregation replaces three collect_set window frames (the O(n·w)
+  form was the 2nd-slowest doc query in BENCH_r01). Short groups (n < w)
+  fall back to a single window of size n -> countDistinct/n, matching the
+  reference.
 - Honoré: explode -> groupBy(entity, word).count -> N, V, V1 natively
   (replacing the reference's quadratic listcomp; SURVEY.md §4.1).
 """
@@ -51,35 +57,38 @@ def lexdiv_stats(
         "n", F.count(F.lit(1)).over(w_part)
     )
 
-    ttr_cols = []
-    for w in windows:
-        frame = w_order.rowsBetween(0, w - 1)
-        ttr = F.size(F.collect_set("word").over(frame)) / F.lit(float(w))
-        wrows = wrows.withColumn(f"_ttr_{w}", ttr)
-        ttr_cols.append(w)
+    # previous/next occurrence position of this word within the entity
+    # (prev 0 = first occurrence). The same (entity, word) window sort also
+    # yields Honoré's inputs with no extra aggregation: V = #first
+    # occurrences, V1 = #words whose first occurrence has no successor.
+    w_prev = Window.partitionBy(*keys, "word").orderBy("gpos")
+    wrows = wrows.withColumn(
+        "prev", F.coalesce(F.lag("gpos").over(w_prev), F.lit(0))
+    ).withColumn("nxt", F.lead("gpos").over(w_prev))
 
-    # Per (entity, word) counts feed both Honoré and the distinct fallback.
-    word_counts = wrows.groupBy(*keys, "word").agg(
-        F.count(F.lit(1)).alias("wct"), F.first("n").alias("n")
+    ttr_cols = list(windows)
+    mattr_aggs = []
+    for w in ttr_cols:
+        m = F.col("n") - w + 1  # number of valid window starts
+        lo = F.greatest(F.col("prev") + 1, F.col("gpos") - (w - 1))
+        hi = F.least(F.col("gpos"), m)
+        contrib = F.greatest(hi - lo + 1, F.lit(0)).cast("double")
+        mattr_aggs.append(
+            (
+                F.sum(F.when(F.col("n") >= w, contrib))
+                / (F.lit(float(w)) * (F.max("n") - w + 1))
+            ).alias(f"_mattr_main_{w}")
+        )
+
+    first_occ = F.col("prev") == 0
+    out = wrows.groupBy(*keys).agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(first_occ, 1).otherwise(0)).cast("double").alias("V"),
+        F.sum(F.when(first_occ & F.col("nxt").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("V1"),
+        *mattr_aggs,
     )
-    hon = word_counts.groupBy(*keys).agg(
-        F.first("n").alias("n"),
-        F.count(F.lit(1)).cast("double").alias("V"),
-        F.sum(F.when(F.col("wct") == 1, 1).otherwise(0)).cast("double").alias("V1"),
-    )
-
-    mattr_aggs = [
-        F.avg(
-            F.when(
-                (F.col("n") >= w) & (F.col("gpos") <= F.col("n") - w + 1),
-                F.col(f"_ttr_{w}"),
-            )
-        ).alias(f"_mattr_main_{w}")
-        for w in ttr_cols
-    ]
-    mattr = wrows.groupBy(*keys).agg(*mattr_aggs)
-
-    out = hon.join(mattr, on=keys, how="inner")
     for w in ttr_cols:
         out = out.withColumn(
             f"MATTR_{w}",
