@@ -17,13 +17,49 @@ North_rule requirements covered here:
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works for
+    file://, hdfs://, s3a://, ... On a 100 TB deployment checkpoints live on
+    the cluster store, so lineage/metrics MUST NOT use os.listdir (which
+    sees only the driver's local disk)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _fs_list_parquet(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """[(file_name, bytes)] of the part files under ``path``."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            out.append((name, int(st.getLen())))
+    return sorted(out)
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 @dataclass
@@ -63,19 +99,23 @@ class FeaturePipeline:
         for step in self.steps:
             t0 = time.monotonic()
             if checkpoint_dir and step.checkpoint:
-                path = os.path.join(checkpoint_dir, step.name)
-                success = os.path.join(path, "_SUCCESS")
-                if resume and os.path.exists(success):
+                path = posixpath.join(checkpoint_dir, step.name)
+                success = posixpath.join(path, "_SUCCESS")
+                if resume and _fs_exists(spark, success):
                     df = spark.read.parquet(path)
-                    self._record(step.name, path, -1, time.monotonic() - t0, True)
+                    self._record(
+                        spark, step.name, path, -1, time.monotonic() - t0, True
+                    )
                     continue
                 obs = Observation(f"rows_{step.name}")
                 out = step.fn(df)
                 out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
                 out.write.mode("overwrite").parquet(path)
                 rows = int(obs.get["rows"])
-                self._record(step.name, path, rows, time.monotonic() - t0, False)
-                self._write_lineage(path, step.name)
+                self._record(
+                    spark, step.name, path, rows, time.monotonic() - t0, False
+                )
+                self._write_lineage(spark, path, step.name)
                 df = spark.read.parquet(path)
             else:
                 df = step.fn(df)
@@ -84,26 +124,34 @@ class FeaturePipeline:
                 )
         return df
 
-    def _record(self, name: str, path: str, rows: int, wall: float, resumed: bool):
-        size = files = 0
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                files += 1
-                size += os.path.getsize(os.path.join(path, f))
-        self.metrics.append(StepMetrics(name, rows, size, files, wall, resumed))
+    def _record(
+        self,
+        spark,
+        name: str,
+        path: str,
+        rows: int,
+        wall: float,
+        resumed: bool,
+    ):
+        parts = _fs_list_parquet(spark, path)
+        self.metrics.append(
+            StepMetrics(
+                name, rows, sum(b for _, b in parts), len(parts), wall, resumed
+            )
+        )
 
-    def _write_lineage(self, path: str, name: str):
+    def _write_lineage(self, spark, path: str, name: str):
         m = next(x for x in reversed(self.metrics) if x.step == name)
         # per-partition breakdown: one output file per write partition, so
         # the file list IS the partition-level lineage (north_rule:
         # "checkpoints per-partition lineage + row-count/bytes metrics")
         partitions = [
-            {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
+            {"file": f, "bytes": b} for f, b in _fs_list_parquet(spark, path)
         ]
-        with open(os.path.join(path, "_lineage.json"), "w") as f:
-            json.dump(
+        _fs_write_text(
+            spark,
+            posixpath.join(path, "_lineage.json"),
+            json.dumps(
                 {
                     "step": m.step,
                     "rows": m.rows,
@@ -112,9 +160,9 @@ class FeaturePipeline:
                     "wall_s": round(m.wall_s, 3),
                     "resumed": m.resumed,
                     "partitions": partitions,
-                },
-                f,
-            )
+                }
+            ),
+        )
 
 
 def validate_no_leakage(

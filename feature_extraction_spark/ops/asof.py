@@ -152,25 +152,46 @@ def asof_join_broadcast(
     return out
 
 
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Plan-side row estimate — NO Spark job: the optimized plan's CBO
+    rowCount when available, else sizeInBytes / schema default row width
+    (both maintained by Catalyst from file statistics). Returns None when
+    plan statistics are unreachable (e.g. Spark Connect)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        width = max(1, int(df._jdf.schema().defaultSize()))
+        return size // width
+    except Exception:
+        return None
+
+
 def asof_join_auto(
     left: DataFrame,
     right: DataFrame,
     on: str | list[str],
     broadcast_threshold_rows: int = 1_000_000,
+    right_rows: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """Strategy-picking as-of join (SURVEY.md §2.3 J5: "broadcast fallback
     for skewed conv_ids / small right sides").
 
-    Probes the right side with a bounded count (``limit(n+1).count()`` —
-    the scan stops once the limit is hit, so the probe costs O(threshold)
-    rows, not a full pass): at or below the threshold the right side packs
+    The right-side size comes from (in order): the caller's ``right_rows``
+    (table statistics the deployment already has), the optimized plan's
+    Catalyst statistics (no job), and only as a last resort a bounded
+    ``limit(n+1).count()`` probe (the scan stops at the limit, so it costs
+    O(threshold) rows). At or below the threshold the right side packs
     into per-key sorted arrays and broadcasts (no shuffle of the fact side,
     immune to left-key skew); above it, the union-tag sort-merge shape
-    shuffles both sides once by key. On a real deployment the row estimate
-    would come from table statistics instead of the probe."""
+    shuffles both sides once by key."""
     thr = broadcast_threshold_rows
-    n = right.limit(thr + 1).count()
+    n = right_rows if right_rows is not None else _estimated_rows(right)
+    if n is None:
+        n = right.limit(thr + 1).count()
     # the broadcast variant has no tolerance path; a requested tolerance
     # routes through the sort-merge shape regardless of size
     if n <= thr and kwargs.get("tolerance_s") is None:

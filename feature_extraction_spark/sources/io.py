@@ -39,6 +39,24 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf value ('134217728', '128m', '134217728b')."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return default
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow scan up to the cluster's default parallelism so
     heavy per-row expressions (shingling, hashing, UDF kernels) use every
@@ -47,15 +65,38 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     A single small parquet file arrives as ONE input split, serializing all
     downstream projection work onto one task regardless of cluster size. At
     real scale (many files / Iceberg manifests) the scan already has >=
-    defaultParallelism splits and this is a no-op — the check is on the
-    *physical* partition count, so the round-robin shuffle (cost: one pass
-    over the raw rows, tiny next to the per-row work it parallelizes) only
-    happens when the input is pathologically under-split."""
+    defaultParallelism splits and this is a no-op. The split estimate is
+    plan-side metadata only — input file list + sizes via the Hadoop FS API
+    (Spark splits files at spark.sql.files.maxPartitionBytes), no ``.rdd``
+    conversion and no Spark job — so it also works under Spark Connect,
+    where DataFrame.rdd does not exist. Non-scan inputs (local relations)
+    repartition unconditionally: they are driver-created and small."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
         return df.repartition(target)
-    return df
+    if len(files) >= target:
+        return df  # >= one split per file
+    max_bytes = _size_conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            size = jpath.getFileSystem(conf).getFileStatus(jpath).getLen()
+            splits += max(1, -(-int(size) // max_bytes))
+            if splits >= target:
+                return df
+    except Exception:
+        pass  # metadata unavailable -> assume under-split
+    return df.repartition(target)
 
 
 def write_table(

@@ -214,3 +214,29 @@ def test_stream_dedup_turns(spark, transcripts, tmp_path):
     n_unique = transcripts.select("conv_id", "turn_idx").distinct().count()
     assert got.count() == n_unique
     assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+
+def test_pipeline_checkpoint_uri_scheme(spark, transcripts, tmp_path):
+    """Checkpoint/resume + lineage against an explicit file:/// URI — proves
+    the metrics path goes through the Hadoop FileSystem API (north_rule: the
+    production checkpoint store is HDFS/S3, where os.listdir sees nothing)."""
+    calls = {"n": 0}
+
+    def step1(df):
+        calls["n"] += 1
+        return sessionize(df, gap_seconds=300.0)
+
+    pipe = FeaturePipeline([FeatureStep("sess", step1)])
+    ckpt = "file://" + str(tmp_path / "uri_ckpt")
+    out1 = pipe.run(transcripts, checkpoint_dir=ckpt).count()
+    m1 = {m.step: m for m in pipe.metrics}
+    assert m1["sess"].rows > 0 and m1["sess"].bytes > 0 and m1["sess"].files > 0
+    # lineage written through the FS API at the URI location
+    lineage = json.load(open(os.path.join(str(tmp_path / "uri_ckpt"), "sess", "_lineage.json")))
+    assert lineage["rows"] == m1["sess"].rows
+    assert len(lineage["partitions"]) == m1["sess"].files
+    assert all(p["bytes"] > 0 for p in lineage["partitions"])
+
+    out2 = pipe.run(transcripts, checkpoint_dir=ckpt).count()
+    m2 = {m.step: m for m in pipe.metrics}
+    assert m2["sess"].resumed and calls["n"] == 1 and out1 == out2

@@ -65,3 +65,50 @@ def test_skew_verbosity_hot_key_correct(spark, skewed):
     for k in ("wc_mean", "wc_median", "wc_stdev", "total_count", "lw_count",
               "syll_mean", "syll_median"):
         assert np.allclose(row[k], exp[k], equal_nan=True), k
+
+
+def test_skew_flagship_checkpoint_balance(spark, tmp_path):
+    """SURVEY §5 scale stress: a guaranteed 10^5-turn conversation among
+    thousands of small ones through the FLAGSHIP pipeline under the
+    checkpointing engine — asserts completion, per-key correctness of the
+    row count, and post-rebalance per-partition balance read back from the
+    checkpoint lineage metrics (the skew escape hatch a 100 TB run needs:
+    window stages are inherently keyed, the sink rebalances)."""
+    import json
+    import os
+
+    from bench import flagship_pipeline
+    from feature_extraction_spark.engine import FeaturePipeline, FeatureStep
+
+    small = synth_transcripts(spark, n_convs=3000, seed=7, max_turns=20)
+    n_hot = 100_000
+    hot = spark.range(0, n_hot).select(
+        F.lit("conv_hot").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 3 == 0, "user").otherwise("assistant").alias("role"),
+        F.concat(F.lit("turn text "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 7 == 0, F.lit("search")).alias("tool"),
+        F.timestamp_millis(F.lit(1704067200000) + F.col("id") * 10_000).alias("ts"),
+    )
+    df = small.unionByName(hot)
+    n_total = df.count()
+
+    pipe = FeaturePipeline(
+        [
+            FeatureStep("features", flagship_pipeline),
+            FeatureStep("rebalance", lambda d: d.repartition(16)),
+        ]
+    )
+    out = pipe.run(df, checkpoint_dir=str(tmp_path / "skew_ck"))
+    assert out.count() == n_total
+    assert out.filter(F.col("conv_id") == "conv_hot").count() == n_hot
+
+    lineage = json.load(
+        open(os.path.join(str(tmp_path / "skew_ck"), "rebalance", "_lineage.json"))
+    )
+    parts = [p["bytes"] for p in lineage["partitions"]]
+    assert len(parts) >= 8
+    mean_b = sum(parts) / len(parts)
+    # round-robin rebalance must spread the hot conversation's output:
+    # no partition more than 2x the mean
+    assert max(parts) <= 2 * mean_b, parts
