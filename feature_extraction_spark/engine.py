@@ -22,44 +22,14 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works for
-    file://, hdfs://, s3a://, ... On a 100 TB deployment checkpoints live on
-    the cluster store, so lineage/metrics MUST NOT use os.listdir (which
-    sees only the driver's local disk)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
-
-
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    fs, jpath = _hadoop_fs(spark, path)
-    return bool(fs.exists(jpath))
-
-
-def _fs_list_parquet(spark: SparkSession, path: str) -> list[tuple[str, int]]:
-    """[(file_name, bytes)] of the part files under ``path``."""
-    fs, jpath = _hadoop_fs(spark, path)
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if name.endswith(".parquet"):
-            out.append((name, int(st.getLen())))
-    return sorted(out)
-
-
-def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    fs, jpath = _hadoop_fs(spark, path)
-    stream = fs.create(jpath, True)
-    try:
-        stream.write(bytearray(text.encode("utf-8")))
-    finally:
-        stream.close()
+from feature_extraction_spark.fsutil import (
+    fs_exists as _fs_exists,
+    fs_list_parquet as _fs_list_parquet,
+    fs_write_text as _fs_write_text,
+)
 
 
 @dataclass
@@ -84,6 +54,11 @@ class StepMetrics:
 class FeaturePipeline:
     steps: list[FeatureStep]
     metrics: list[StepMetrics] = field(default_factory=list)
+    # True: checkpoints are versioned snapshot tables (sources/snapshots —
+    # manifest-driven commits, resume from the LAST COMMITTED snapshot; a
+    # crashed step's partial write is invisible). False: plain parquet dirs
+    # with the Spark committer's _SUCCESS marker as the commit point.
+    use_snapshots: bool = False
 
     def run(
         self,
@@ -98,7 +73,35 @@ class FeaturePipeline:
         spark = df.sparkSession
         for step in self.steps:
             t0 = time.monotonic()
-            if checkpoint_dir and step.checkpoint:
+            if checkpoint_dir and step.checkpoint and self.use_snapshots:
+                from feature_extraction_spark.sources.snapshots import (
+                    commit_snapshot,
+                    last_committed_version,
+                    read_manifest,
+                    read_snapshot,
+                )
+
+                path = posixpath.join(checkpoint_dir, step.name)
+                v = last_committed_version(spark, path) if resume else None
+                if v is not None:
+                    df = read_snapshot(spark, path, v)
+                    m = read_manifest(spark, path, v)
+                    self.metrics.append(
+                        StepMetrics(
+                            step.name, int(m["rows"]), int(m["bytes"]),
+                            len(m["files"]), time.monotonic() - t0, True,
+                        )
+                    )
+                    continue
+                info = commit_snapshot(step.fn(df), path, mode="overwrite")
+                self.metrics.append(
+                    StepMetrics(
+                        step.name, info.rows, info.bytes, len(info.files),
+                        time.monotonic() - t0, False,
+                    )
+                )
+                df = read_snapshot(spark, path, info.version)
+            elif checkpoint_dir and step.checkpoint:
                 path = posixpath.join(checkpoint_dir, step.name)
                 success = posixpath.join(path, "_SUCCESS")
                 if resume and _fs_exists(spark, success):

@@ -5,6 +5,8 @@ adversarial shapes: duplicate timestamps, empty groups, single-row convs,
 unmatched keys.
 """
 
+import datetime
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -163,3 +165,34 @@ def test_backfill_matches_pandas_ffill(spark, rows):
         exp["x_filled"].astype(float).values,
         equal_nan=True,
     )
+
+
+# ---------------------------------------------------------------- MATTR O(n)
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=80
+    ),
+    w=st.sampled_from([3, 10, 25]),
+)
+@settings(**_SETTINGS)
+def test_mattr_interval_formula_matches_bruteforce(spark, words, w):
+    """The O(n) previous-occurrence interval formulation must equal the
+    brute-force sliding-window distinct-count mean for any token sequence."""
+    from feature_extraction_spark.ops.lexdiv import lexdiv_stats
+
+    n = len(words)
+    if n >= w:
+        expected = sum(
+            len(set(words[i : i + w])) for i in range(n - w + 1)
+        ) / (w * (n - w + 1))
+    else:
+        expected = len(set(words)) / n
+
+    df = spark.createDataFrame(
+        [("c", 0, " ".join(words), datetime.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    got = lexdiv_stats(df, level="conv", windows=(w,)).collect()[0][f"MATTR_{w}"]
+    assert np.isclose(got, expected), (words, w, got, expected)

@@ -1,0 +1,110 @@
+"""Snapshot-committed table format: commit/read round trips, append +
+time travel, partial-write invisibility, and engine resume from the last
+COMMITTED snapshot (north_rule checkpoint semantics, Iceberg-style
+pointer-swap commits over parquet — see sources/snapshots.py)."""
+
+import posixpath
+
+import pyspark.sql.functions as F
+
+from feature_extraction_spark.sources.snapshots import (
+    commit_snapshot,
+    last_committed_version,
+    read_snapshot,
+    snapshot_versions,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    table = "file://" + str(tmp_path / "t1")
+    info = commit_snapshot(_df(spark, 0, 100), table)
+    assert info.version == 1 and info.rows == 100 and info.bytes > 0
+    assert last_committed_version(spark, table) == 1
+    got = read_snapshot(spark, table)
+    assert got.count() == 100
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    table = "file://" + str(tmp_path / "t2")
+    commit_snapshot(_df(spark, 0, 50), table)
+    info2 = commit_snapshot(_df(spark, 50, 80), table, mode="append")
+    assert info2.version == 2 and info2.rows == 80
+    assert snapshot_versions(spark, table) == [1, 2]
+    assert read_snapshot(spark, table).count() == 80  # latest = union
+    assert read_snapshot(spark, table, version=1).count() == 50  # time travel
+    # overwrite drops history from the live view but keeps old snapshots
+    commit_snapshot(_df(spark, 0, 10), table, mode="overwrite")
+    assert read_snapshot(spark, table).count() == 10
+    assert read_snapshot(spark, table, version=2).count() == 80
+
+
+def test_uncommitted_writes_invisible(spark, tmp_path):
+    """The manifest is the scan's file source: stray/partial data files and
+    a crashed commit (data written, pointer not swapped) are never read."""
+    table = "file://" + str(tmp_path / "t3")
+    commit_snapshot(_df(spark, 0, 40), table)
+    # simulate a crashed v2 write: data lands, no manifest/pointer
+    _df(spark, 1000, 2000).write.mode("overwrite").parquet(
+        posixpath.join(table, "data", "v2")
+    )
+    assert last_committed_version(spark, table) == 1
+    assert read_snapshot(spark, table).count() == 40
+    # stray file inside the COMMITTED snapshot's dir is also invisible
+    _df(spark, 0, 7).coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(table, "data", "stray")
+    )
+    assert read_snapshot(spark, table).count() == 40
+
+
+def test_pipeline_resume_from_last_committed_snapshot(spark, transcripts, tmp_path):
+    from feature_extraction_spark.engine import FeaturePipeline, FeatureStep
+    from feature_extraction_spark.ops.sessionize import sessionize
+
+    calls = {"sess": 0, "agg": 0}
+
+    def s1(df):
+        calls["sess"] += 1
+        return sessionize(df, gap_seconds=300.0)
+
+    def s2(df):
+        calls["agg"] += 1
+        return df.groupBy("conv_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_turns")
+        )
+
+    pipe = FeaturePipeline(
+        [FeatureStep("sess", s1), FeatureStep("agg", s2)], use_snapshots=True
+    )
+    ck = "file://" + str(tmp_path / "snap_ck")
+    out1 = pipe.run(transcripts, checkpoint_dir=ck).toPandas()
+    m1 = {m.step: m for m in pipe.metrics}
+    assert not m1["sess"].resumed and m1["sess"].rows > 0 and m1["sess"].bytes > 0
+
+    # crash between steps: agg's pointer is gone -> ONLY agg recomputes,
+    # sess resumes from its committed snapshot
+    from feature_extraction_spark.fsutil import hadoop_fs
+
+    fs, jpath = hadoop_fs(spark, posixpath.join(ck, "agg", "metadata", "VERSION"))
+    fs.delete(jpath, False)
+
+    out2 = pipe.run(transcripts, checkpoint_dir=ck).toPandas()
+    m2 = {m.step: m for m in pipe.metrics}
+    assert m2["sess"].resumed and not m2["agg"].resumed
+    assert calls["sess"] == 1 and calls["agg"] == 2
+    key = ["conv_id", "session_id"]
+    assert out1.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )
+
+    # third run: everything resumes, nothing recomputes
+    pipe.run(transcripts, checkpoint_dir=ck)
+    m3 = {m.step: m for m in pipe.metrics}
+    assert m3["sess"].resumed and m3["agg"].resumed
+    assert calls["sess"] == 1 and calls["agg"] == 2
