@@ -240,3 +240,47 @@ def test_pipeline_checkpoint_uri_scheme(spark, transcripts, tmp_path):
     out2 = pipe.run(transcripts, checkpoint_dir=ckpt).count()
     m2 = {m.step: m for m in pipe.metrics}
     assert m2["sess"].resumed and calls["n"] == 1 and out1 == out2
+
+
+def test_stream_asof_enrich_matches_batch(spark, transcripts, tmp_path):
+    """Streaming point-in-time enrichment == the batch as-of join, row for
+    row (exact compare): each streamed turn picks up the latest static
+    dimension row at-or-before its ts."""
+    from feature_extraction_spark.ops.asof import asof_join
+    from feature_extraction_spark.streaming.enrich import stream_asof_enrich
+
+    # static dimension: one score per conv every ~7 turns
+    dim = (
+        transcripts.filter(F.col("turn_idx") % 7 == 0)
+        .select("conv_id", "ts", (F.col("turn_idx") * 1.5).alias("score"))
+    )
+
+    src = str(tmp_path / "asof_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(transcripts.schema).parquet(src)
+
+    out_path = str(tmp_path / "asof_out")
+    q = (
+        stream_asof_enrich(stream, dim, on="conv_id", value_cols=["score"])
+        .select("conv_id", "turn_idx", "score_asof", "ts_asof")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    key = ["conv_id", "turn_idx"]
+    got = spark.read.parquet(out_path).toPandas().sort_values(key).reset_index(drop=True)
+    exp = (
+        asof_join(transcripts, dim, on="conv_id", value_cols=["score"])
+        .select("conv_id", "turn_idx", "score_asof", "ts_asof")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
