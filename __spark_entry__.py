@@ -734,6 +734,60 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_vocab_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 document-frequency vocabulary filter as a first-class op (the
+    reference buried it inside gensim Dictionary.filter_extremes)."""
+    from feature_extraction_spark.ops.preprocess import df_vocab_filter
+
+    return df_vocab_filter(
+        _docs(spark, sf_dir), min_df=5, max_df_frac=0.5, doc_col="doc_id"
+    )
+
+
+def q_truecase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 distributional truecasing: majority-casing model learned from the
+    corpus (skipping force-capitalized turn-initial tokens), applied per
+    token — the mechanism under truecase.get_true_case, learned from the
+    input corpus since no pretrained model is available offline."""
+    from feature_extraction_spark.ops.truecase import apply_truecase, learn_case_model
+
+    d = _docs(spark, sf_dir)
+    model = learn_case_model(d)
+    out = apply_truecase(d, model, id_col="doc_id")
+    return out.select("doc_id", "text_truecased")
+
+
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over text with deterministic synthetic PII spans
+    appended (the raw testdata contains none, so the patterns must actually
+    fire for the check to mean anything; the oracle appends the same)."""
+    from feature_extraction_spark.ops.textquality import with_pii_scrub
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel +1 555 867 5309"),
+        ),
+    )
+    return with_pii_scrub(d).select("doc_id", "text_scrubbed")
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 8-gram with the
+    deterministic 'benchmark' subset (doc_id % 37 == 0) are dropped —
+    broadcast semi-join on hashed shingles, anti-join on doc id."""
+    from feature_extraction_spark.ops.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 37 == 0).select("text")
+    return decontaminate(d, bench, n=8).select("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature matrix over events-as-transcripts at
     sf0.001 — sessionized, rolling windows, backfilled purchase value, and
@@ -801,6 +855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "neardup_pairs_emb": q_neardup_pairs_emb,
         "neardup_pairs_emb_lsh": q_neardup_pairs_emb_lsh,
+        "vocab_filter_docs": q_vocab_filter_docs,
+        "truecase_docs": q_truecase_docs,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "decontaminate_docs": q_decontaminate_docs,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 
@@ -815,11 +873,18 @@ _SYLL = (
 
 _NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
-_SHINGLES3 = (
-    "list_distinct(case when len({w}) >= 3 then "
-    "list_transform(generate_series(1, len({w})-2), i -> array_to_string({w}[i:i+2],' ')) "
-    "else [array_to_string({w},' ')] end)"
-)
+def _shingles_sql(w: str, n: int) -> str:
+    """Distinct word n-gram shingles with the whole-text fallback for short
+    docs — mirrors ops/dedup._shingles."""
+    return (
+        f"list_distinct(case when len({w}) >= {n} then "
+        f"list_transform(generate_series(1, len({w})-{n - 1}), "
+        f"i -> array_to_string({w}[i:i+{n - 1}],' ')) "
+        f"else [array_to_string({w},' ')] end)"
+    )
+
+
+_SHINGLES3 = _shingles_sql("{w}", 3)
 
 
 def _tag_case_sql(lw: str = "lw", w: str = "w") -> str:
@@ -1539,6 +1604,73 @@ scored AS (
 SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
 """
 
+    vocab_filter = """
+WITH w AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS word
+  FROM documents
+), v AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word
+), n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+SELECT word, df FROM v, n WHERE df >= 5 AND df <= 0.5 * nd
+"""
+
+    truecase = """
+WITH lw AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), lflat AS (
+  SELECT t['pos'] AS pos, t['form'] AS form
+  FROM (SELECT unnest(list_transform(generate_series(1, len(w)),
+                i -> {'pos': i, 'form': w[i]})) AS t FROM lw)
+), learn AS (
+  SELECT lower(form) AS lword, form, count(*) AS n
+  FROM lflat WHERE pos > 1 GROUP BY lower(form), form
+), model AS (
+  SELECT lword, form FROM (
+    SELECT lword, form,
+           row_number() OVER (PARTITION BY lword ORDER BY n DESC, form ASC) AS rk
+    FROM learn) WHERE rk = 1
+), aflat AS (
+  SELECT doc_id, t['pos'] AS pos, t['form'] AS form
+  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+                i -> {'pos': i, 'form': w[i]})) AS t
+        FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))
+), applied AS (
+  SELECT a.doc_id, a.pos, coalesce(m.form, a.form) AS out_form
+  FROM aflat a LEFT JOIN model m ON lower(a.form) = m.lword
+)
+SELECT doc_id, coalesce(string_agg(out_form, ' ' ORDER BY pos), '') AS text_truecased
+FROM applied GROUP BY doc_id
+"""
+
+    from feature_extraction_spark.ops.textquality import PII_PATTERNS
+
+    pii_inner = (
+        "text || ' contact u' || doc_id || '@example.com or 192.168.' || "
+        "(doc_id % 256) || '.7 ssn 123-45-6789 tel +1 555 867 5309'"
+    )
+    pii_expr = pii_inner
+    for _name, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''").replace("\\", "\\")
+        pii_expr = f"regexp_replace({pii_expr}, '{esc}', '{repl}', 'g')"
+    pii_scrub = f"SELECT doc_id, {pii_expr} AS text_scrubbed FROM documents"
+
+    sh8 = _shingles_sql("str_split(" + _NORM.format(c="text") + ", ' ')", 8)
+    decontaminate = f"""
+WITH d AS (
+  SELECT doc_id, {sh8} AS sh FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 37 = 0
+), doc_sh AS (
+  SELECT doc_id, unnest(sh) AS s FROM d
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM doc_sh JOIN bench USING (s)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
     return {
         "verbosity_docs": verbosity,
         "lexdiv_docs": lexdiv,
@@ -1578,6 +1710,10 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
         "neardup_pairs_emb_lsh": neardup_emb,
         "lsh_topk": cosine_topk,
         "graph_docs": _graph_docs_sql(),
+        "vocab_filter_docs": vocab_filter,
+        "truecase_docs": truecase,
+        "pii_scrub_docs": pii_scrub,
+        "decontaminate_docs": decontaminate,
         # ivf_topk / multimodal_features stay rows-only: the seeded-sample
         # Lloyd quantizer and the stubbed media codecs are not
         # SQL-expressible in DuckDB.

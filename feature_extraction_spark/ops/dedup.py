@@ -335,3 +335,38 @@ def simhash_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Test-set decontamination: drop every training document sharing at
+    least one word n-gram (default 8-gram, the common eval-decontamination
+    setting) with the benchmark corpus.
+
+    Scale shape: the benchmark's distinct shingle hashes are tiny next to
+    the corpus -> broadcast; the corpus-side check is then a broadcast
+    LEFT SEMI probe per shingle with NO shuffle of the corpus, and the
+    final anti-join keys on the 8-byte doc id. Exact up to xxhash64
+    collisions (~|shingles|^2 / 2^65)."""
+    doc_sh = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(_shingles(text_col, n)).alias("sh"))
+        .select("id", F.xxhash64("sh").alias("sh"))
+    )
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(bench_text_col, n)).alias("sh"))
+        .select(F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(bench_sh), on="sh", how="left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(contaminated, on=id_col, how="left_anti")

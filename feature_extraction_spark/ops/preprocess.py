@@ -82,3 +82,81 @@ def basic_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         f"{text_col}_basic", F.lower(strip_punct_expr(F.col(text_col)))
     )
+
+
+def vocab_document_frequency(
+    df: DataFrame,
+    doc_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, df) document frequencies over distinct words per document —
+    the input to A11's vocabulary filter (reference analog: gensim
+    Dictionary.filter_extremes inside archived/train_topic_model.py; here a
+    first-class distributed op). One explode + one hash aggregation."""
+    words = F.array_distinct(
+        F.filter(tokenize_expr(F.col(text_col)), lambda w: w != "")
+    )
+    return (
+        df.select(F.col(doc_col).alias("_doc"), F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count_distinct("_doc").alias("df"))
+    )
+
+
+def df_vocab_filter(
+    df: DataFrame,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    doc_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """A11 document-frequency vocabulary filter: keep words appearing in at
+    least ``min_df`` documents and at most ``max_df_frac`` of all documents
+    (too-rare words are noise, too-common words are stop-like). Returns the
+    kept vocabulary (word, df).
+
+    Scale shape: the vocab is a hash aggregation keyed by word (map-side
+    combinable); callers prune token streams against it with a broadcast
+    semi-join (vocabularies are small relative to corpora) — no second scan
+    of the text."""
+    n_docs = df.select(F.count_distinct(F.col(doc_col)).alias("n")).collect()[0]["n"]
+    vocab = vocab_document_frequency(df, doc_col, text_col)
+    return vocab.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= float(max_df_frac) * n_docs)
+    )
+
+
+def filter_tokens_by_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    doc_col: str = "conv_id",
+    text_col: str = "text",
+    out_col: str = "tokens_kept",
+) -> DataFrame:
+    """Prune each document's token stream to the kept vocabulary, keeping
+    token order. ``df`` must have one row per ``doc_col`` value (document
+    grain).
+
+    Scale shape: posexplode -> broadcast LEFT SEMI join on the word (the
+    filtered vocab is small next to the corpus; per-token membership is a
+    hash probe, not an O(|vocab|) array scan) -> regroup in position order
+    with one shuffle keyed by the document id."""
+    toks = df.select(
+        F.col(doc_col).alias("_doc"),
+        F.posexplode(
+            F.filter(tokenize_expr(F.col(text_col)), lambda w: w != "")
+        ).alias("pos", "word"),
+    )
+    kept = toks.join(F.broadcast(vocab.select("word")), on="word", how="left_semi")
+    regrouped = kept.groupBy("_doc").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "word"))),
+            lambda s: s["word"],
+        ).alias(out_col)
+    )
+    out = df.join(
+        regrouped, on=df[doc_col] == regrouped["_doc"], how="left"
+    ).drop("_doc")
+    return out.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )

@@ -126,3 +126,31 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint_md5", F.md5(norm)).withColumn(
         "fingerprint_64", F.xxhash64(norm)
     )
+
+
+# PII patterns deliberately stick to portable regex constructs (character
+# classes + bounded quantifiers) so the Java (Spark) and RE2 (DuckDB
+# oracle) engines match byte-for-byte.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    # the optional 4th segment requires its digits (a bare trailing
+    # separator must not be swallowed into the redacted span)
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{1,4})?", "<PHONE>"),
+]
+
+
+def with_pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4, SSN-style ids, phone-ish
+    numbers) with typed placeholder tokens — the standard pre-training
+    scrub pass. A chain of native regexp_replace calls: JVM-side, codegen,
+    no UDF. Order matters: email first (user@host is one span), and the
+    greedy phone rule LAST so it cannot half-eat dotted IPv4s or
+    ddd-dd-dddd ids."""
+    col = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)

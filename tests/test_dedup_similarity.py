@@ -186,3 +186,104 @@ def test_simhash_neardup_full_recall(docs):
     ej = {(r.id_a, r.id_b): r.jaccard for r in exact.itertuples()}
     for r in got.itertuples():
         assert np.isclose(r.jaccard, ej[(r.id_a, r.id_b)])
+
+
+def test_pii_scrub(spark):
+    from feature_extraction_spark.ops.textquality import with_pii_scrub
+
+    rows = [
+        (1, "mail me at jo.do+x@corp.example.org today"),
+        (2, "server 10.0.255.3 rebooted"),
+        (3, "ssn 123-45-6789 and phone +44 020 7946 0958"),
+        (4, "call 555-867-5309 soon"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.text_scrubbed for r in with_pii_scrub(df).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "server <IP> rebooted"
+    assert got[3] == "ssn <SSN> and phone <PHONE>"
+    assert got[4] == "call <PHONE> soon"
+    assert got[5] == "no pii here at all"
+
+
+def test_decontaminate(spark, docs):
+    """Docs sharing an 8-gram with the benchmark subset are dropped; the
+    benchmark docs remove themselves (self-contamination); disjoint docs
+    survive."""
+    from feature_extraction_spark.ops.dedup import decontaminate
+    import pyspark.sql.functions as F
+
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    out = decontaminate(docs, bench.select("text"), n=8)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert bench_ids.isdisjoint(kept)
+    # python oracle
+    def sh8(s):
+        import re
+        ws = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip().split(" ")
+        if len(ws) < 8:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)}
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    bench_sh = set()
+    for r in pdf.itertuples():
+        if r.doc_id % 37 == 0:
+            bench_sh |= sh8(r.text)
+    exp = {r.doc_id for r in pdf.itertuples() if not (sh8(r.text) & bench_sh)}
+    assert kept == exp
+
+
+def test_vocab_filter_and_prune(spark, docs):
+    from feature_extraction_spark.ops.preprocess import (
+        df_vocab_filter,
+        filter_tokens_by_vocab,
+    )
+
+    vocab = df_vocab_filter(docs, min_df=5, max_df_frac=0.5, doc_col="doc_id")
+    vp = vocab.toPandas()
+    # python oracle for df bounds
+    pdf = docs.select("doc_id", "text").toPandas()
+    from collections import Counter
+
+    dfc = Counter()
+    for r in pdf.itertuples():
+        dfc.update({w for w in r.text.split(" ") if w != ""})
+    nd = pdf["doc_id"].nunique()
+    exp = {w: c for w, c in dfc.items() if c >= 5 and c <= 0.5 * nd}
+    assert dict(zip(vp["word"], vp["df"])) == exp
+
+    pruned = filter_tokens_by_vocab(docs, vocab, doc_col="doc_id")
+    row = pruned.filter(pruned.doc_id == pdf["doc_id"].iloc[0]).collect()[0]
+    text0 = pdf["text"].iloc[0]
+    exp_toks = [w for w in text0.split(" ") if w != "" and w in exp]
+    assert list(row["tokens_kept"]) == exp_toks
+
+
+def test_truecase_learn_apply(spark):
+    from feature_extraction_spark.ops.truecase import (
+        apply_truecase,
+        learn_case_model,
+    )
+
+    rows = [
+        (1, "Smith went home"),           # initial 'Smith' skipped in learning
+        (2, "we met Smith today"),
+        (3, "again Smith and smith"),
+        (4, "The cat sat"),               # initial 'The' skipped
+        (5, "the cat the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    model = {r.lword: r.form for r in learn_case_model(df).collect()}
+    assert model["smith"] == "Smith"  # 2 mid-sentence Smith vs 1 smith
+    assert model["the"] == "the"      # initial 'The' not counted
+    out = {
+        r.doc_id: r.text_truecased
+        for r in apply_truecase(df, learn_case_model(df), id_col="doc_id").collect()
+    }
+    assert out[3] == "again Smith and Smith"
+    assert out[4] == "the cat sat"  # initial The normalized to majority 'the'
