@@ -98,11 +98,28 @@ def main() -> None:
         ).format(repo=REPO, n=n_convs, s=seed, p=tpath)
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
-    r8 = run_level(8, tpath)
-    r32 = run_level(32, tpath)
-    assert r8["hash"] == r32["hash"] and r8["rows"] == r32["rows"], (
+    # This box is SHARED: neighbor load swings single-shot walls 2-3x and
+    # can make either level look arbitrarily bad (observed T8 69-174 s on
+    # identical inputs). Protocol: alternate the two levels `reps` times
+    # and take the per-level MINIMUM wall — the least-interfered sample is
+    # the faithful estimate of each level's true cost, so the efficiency
+    # ratio reflects the engine, not the neighbors.
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    runs8, runs32 = [], []
+    for i in range(reps):
+        runs8.append(run_level(8, tpath))
+        runs32.append(run_level(32, tpath))
+        sys.stderr.write(
+            f"rep {i}: T8={runs8[-1]['wall_s']:.1f}s "
+            f"T32={runs32[-1]['wall_s']:.1f}s\n"
+        )
+    hashes = {r["hash"] for r in runs8 + runs32}
+    rows = {r["rows"] for r in runs8 + runs32}
+    assert len(hashes) == 1 and len(rows) == 1, (
         "output differs across parallelism levels!"
     )
+    r8 = min(runs8, key=lambda r: r["wall_s"])
+    r32 = min(runs32, key=lambda r: r["wall_s"])
     eff = (r8["wall_s"] / r32["wall_s"]) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -114,6 +131,9 @@ def main() -> None:
         "output_hash_identical": True,
         "seed": seed,
         "n_convs": n_convs,
+        "protocol": f"min-of-{reps} alternating reps per level (shared host)",
+        "all_walls_8": [round(r["wall_s"], 2) for r in runs8],
+        "all_walls_32": [round(r["wall_s"], 2) for r in runs32],
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -127,12 +147,18 @@ windows + backfill + conv-level verbosity join) over the deterministic
 synthetic transcripts table (seed={seed}, n_convs={n_convs},
 {r8['n_turns']:,} turns), identical input at both levels.
 
-| level | wall (s) | turns/sec |
+| level | wall (s, min of {reps}) | turns/sec |
 |---|---|---|
 | local[8]  (N)  | {r8['wall_s']:.2f} | {r8['turns_per_sec']:,.0f} |
 | local[32] (4N) | {r32['wall_s']:.2f} | {r32['turns_per_sec']:,.0f} |
 
 scaling_efficiency = (T_8 / T_32) / 4 = **{eff:.3f}** (target >= 0.8)
+
+Shared-host protocol: the two levels alternate for {reps} reps and each
+level reports its minimum wall (all samples: T8={result['all_walls_8']},
+T32={result['all_walls_32']}) — neighbor load on this box swings
+single-shot walls 2-3x, and the least-interfered sample per level is the
+faithful estimate of that level's true cost.
 
 Output feature matrix: row count and order-insensitive xxhash64 content hash
 **identical** across both levels ({r8['rows']:,} rows).
