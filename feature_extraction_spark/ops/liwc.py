@@ -96,22 +96,17 @@ def liwc_features(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    # ONE tagged token stream shared by all three consumers (num-words,
-    # exact match, wildcard prefix match). The gram construction is a
-    # higher-order-function chain (interpreted, outside codegen); the
-    # explicit repartition gives all consumers the same exchange, so the
-    # chain is evaluated once per shuffle instead of once per branch.
-    def tagged(arr, n):
-        return F.transform(
-            arr, lambda t: F.struct(F.lit(n).alias("n"), t.alias("tok"))
-        )
-
+    # ONE token stream shared by both matchers (exact equi-join, wildcard
+    # prefix join). The gram construction is a higher-order-function chain
+    # (interpreted, outside codegen); the explicit repartition gives both
+    # consumers the same exchange, so the chain is evaluated once per
+    # shuffle instead of once per branch. All gram orders flow into BOTH
+    # matchers: a wildcard stem is a *character* prefix, so 'go*' legally
+    # matches the bigram 'go home' (reference regex semantics).
     toks = transcripts.select(
         *keys,
-        F.explode(
-            F.concat(tagged(words, 1), tagged(grams(2), 2), tagged(grams(3), 3))
-        ).alias("e"),
-    ).select(*keys, F.col("e.n").alias("_n"), F.col("e.tok").alias("tok"))
+        F.explode(F.concat(words, grams(2), grams(3))).alias("tok"),
+    )
     # hash over (keys, tok): balanced even when one entity dominates (the
     # downstream agg is map-side-combinable and the dict joins broadcast,
     # so no consumer needs entity co-location)
@@ -139,12 +134,19 @@ def liwc_features(
 
     if dic.wild:
         wild_df = spark.createDataFrame(dic.wild, "stem string, cat string")
-        max_len = dic.max_stem_len
-        # substring with a column-valued length needs the SQL form
+        # Only prefix LENGTHS that actually occur in the stem set are
+        # generated (a length-5 prefix can never equal a stem of another
+        # length): explode factor drops from max_stem_len to
+        # |distinct stem lengths|. The l <= length(tok) guard keeps
+        # substring from emitting the same short token at two lengths
+        # (which would double-count a match).
+        lens = sorted({len(s) for s, _ in dic.wild})
+        lens_sql = ",".join(str(l) for l in lens)
         prefixes = toks.select(
             *keys, F.col("tok"),
             F.explode(F.expr(
-                f"transform(sequence(1, least(length(tok), {max_len})), i -> substring(tok, 1, i))"
+                f"transform(filter(array({lens_sql}), l -> l <= length(tok)),"
+                " l -> substring(tok, 1, l))"
             )).alias("stem"),
         )
         wild_matches = prefixes.join(
