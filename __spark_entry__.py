@@ -632,6 +632,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> connected components -> total doc_id->cluster_id mapping
+    (alternating large-star/small-star; cluster_id = min member id;
+    singletons map to themselves). Value-checked against a DuckDB recursive
+    transitive-closure oracle over the same exact-Jaccard pair set."""
+    from feature_extraction_spark.ops.cluster import neardup_clusters
+    from feature_extraction_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.6, max_shingle_df=None)
+    return neardup_clusters(d, pairs).select(
+        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy headline query: broadcast the filtered dimension, shuffle
     only the fact tables."""
@@ -855,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "neardup_pairs_emb": q_neardup_pairs_emb,
         "neardup_pairs_emb_lsh": q_neardup_pairs_emb_lsh,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
         "vocab_filter_docs": q_vocab_filter_docs,
         "truecase_docs": q_truecase_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
@@ -1255,6 +1271,32 @@ WHERE c::double / (sa.sz + sb.sz - c) >= {threshold}
 """
 
     jaccard_pairs = jaccard_sql(0.6)
+
+    # dedup clustering: same 0.6-Jaccard pair set, resolved to components by
+    # a recursive transitive closure; cluster_id = min reachable doc id.
+    dedup_clusters = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, str_split({_NORM.format(c='text')}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id AS id, unnest({_SHINGLES3.format(w='w')}) AS s FROM d
+), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE c::double / (sa.sz + sb.sz - c) >= 0.6
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.v FROM sym s JOIN reach r ON s.v = r.u
+), comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT doc.doc_id, coalesce(comp.cluster_id, doc.doc_id) AS cluster_id
+FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id
+"""
     # minhash / simhash driver queries are candidate-generation + exact
     # Jaccard verification at threshold 0.8 with full-recall configs
     # (verified at sf0.001/sf0.01), so their value-level oracle is the
@@ -1710,6 +1752,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         "neardup_pairs_emb_lsh": neardup_emb,
         "lsh_topk": cosine_topk,
         "graph_docs": _graph_docs_sql(),
+        "dedup_clusters_docs": dedup_clusters,
         "vocab_filter_docs": vocab_filter,
         "truecase_docs": truecase,
         "pii_scrub_docs": pii_scrub,

@@ -1,0 +1,177 @@
+"""Connected components over near-duplicate pair graphs — the final stage
+of a dedup pipeline: pairs (from exact/Jaccard/MinHash/SimHash/embedding
+candidate generation, ops/dedup.py + ops/similarity.py) -> clusters ->
+one canonical document per cluster.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) — the standard
+shared-nothing CC algorithm:
+
+- large-star: every node connects its LARGER neighbors to the minimum of
+  its neighborhood (incl. itself).
+- small-star: every node connects its smaller-or-equal neighbors and
+  itself to that minimum.
+
+Each operation preserves the component structure and strictly lowers the
+potential; the alternation converges in O(log^2 n) rounds (O(log n) in
+practice — a chain of 10^6 docs finishes in ~10 rounds), at which point the
+edge set is a star per component centered on the component's minimum id.
+
+Scale shape (100 TB story):
+- a round is two groupBy(min) aggregations + two co-partitioned joins over
+  the CURRENT edge set — map-side-combinable `min`, 2 shuffles of 16-byte
+  rows per round, never the documents themselves;
+- the edge set only shrinks toward one edge per non-root node (dedup pair
+  graphs are near-cliques: the first large-star collapses most of them);
+- a giant component's root is a hot groupBy key, but `min` partial-aggregates
+  on the map side, so the hot key reduces |partitions| rows, not |edges|;
+- per-round `localCheckpoint` truncates the iterative lineage (otherwise
+  the plan doubles every round). On a production cluster swap in
+  `checkpoint()`/a parquet round-trip for fault tolerance — localCheckpoint
+  trades executor-loss recovery for speed, the right default in local mode.
+
+Reference parity note: the reference has no distributed dedup at all (its
+nearest analog is per-file pandas drop_duplicates); this operator exists for
+the LLM-training-pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Edges (v, m) for every neighbor v > u, where m = min(N(u) + {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("u", "_mv").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint; connect each node's smaller
+    neighbors and the node itself to the minimum of that in-neighborhood."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("h"), F.least("u", "v").alias("l")
+    )
+    mins = oriented.groupBy("h").agg(F.min("l").alias("m"))
+    rest = (
+        oriented.join(mins, "h")
+        .where(F.col("l") != F.col("m"))
+        .select(F.col("l").alias("u"), F.col("m").alias("v"))
+    )
+    return (
+        mins.select(F.col("h").alias("u"), F.col("m").alias("v"))
+        .union(rest)
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Resolve the undirected graph given as an edge list into components.
+
+    Returns ``(id, component)`` for every node that appears in ``pairs``,
+    where ``component`` is the MINIMUM node id reachable from ``id`` (a
+    deterministic canonical label of the same type as the ids; ids need only
+    be orderable — longs and strings both work).
+
+    Runs alternating large-star/small-star rounds until the edge set reaches
+    a fixpoint (checked with a count + order-independent xxhash64 checksum —
+    one tiny aggregation action per round). Raises ``RuntimeError`` after
+    ``max_rounds`` (the alternation provably converges in O(log^2 n); hitting
+    the guard means the input violates the contract, e.g. NaN ids).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    cur = e.localCheckpoint(eager=True)
+    sig = _sig(cur)
+    if sig[0] == 0:  # no edges at all -> every node is its own component
+        return nodes.withColumn("component", F.col("id"))
+
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nsig = _sig(nxt)
+        cur.unpersist()
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # fixpoint edges form stars (child -> component-min root)
+    child = cur.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
+    return (
+        nodes.join(child, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Total mapping ``(id_col, cluster_id)`` over ALL rows of ``df``:
+    documents connected through ``pairs`` share the minimum member id as
+    ``cluster_id``; documents in no pair are their own singleton cluster."""
+    comp = connected_components(pairs, src=src, dst=dst).withColumnsRenamed(
+        {"id": id_col, "component": "cluster_id"}
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+        )
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical document per near-dup cluster: the minimum id.
+    Non-canonical members are removed with a left-anti join on ``id_col``
+    (the drop list is |non-canonical| rows — tiny next to the corpus)."""
+    cl = neardup_clusters(df.select(id_col), pairs, id_col, src, dst)
+    drop = cl.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,119 @@
+"""Connected-components near-dup clustering (ops/cluster.py): hand-built
+graphs, the worst-case chain (logarithmic round count), a seeded random-graph
+sweep verified against networkx, and the end-to-end pairs->keep-list dedup."""
+
+import networkx as nx
+import pyspark.sql.functions as F
+import pytest
+
+from feature_extraction_spark.ops.cluster import (
+    connected_components,
+    dedup_by_clusters,
+    neardup_clusters,
+)
+
+
+def _cc_map(spark, edges, **kw):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(pairs, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def _nx_map(edges):
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    return {n: min(c) for c in nx.connected_components(g) for n in c}
+
+
+def test_cc_two_components_and_isolated_edge(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (3, 1)]
+    assert _cc_map(spark, edges) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_cc_self_and_duplicate_edges_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2)]
+    assert _cc_map(spark, edges) == {1: 1, 2: 1}
+
+
+def test_cc_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("conv_b", "conv_a"), ("conv_b", "conv_c"), ("zz", "yy")],
+        "id_a string, id_b string",
+    )
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {
+        "conv_a": "conv_a", "conv_b": "conv_a", "conv_c": "conv_a",
+        "yy": "yy", "zz": "yy",
+    }
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    """A 256-node path is the adversarial diameter case: naive hash-to-min
+    label propagation needs ~256 rounds; the star alternation must finish
+    within a small multiple of log2(n)."""
+    n = 256
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _cc_map(spark, edges, max_rounds=12)
+    assert got == {i: 0 for i in range(n)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 60, 40), (1, 80, 80), (2, 120, 60)])
+def test_cc_matches_networkx(spark, seed, n, m):
+    import random
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc_map(spark, edges) == _nx_map(edges)
+
+
+def test_neardup_clusters_total_mapping(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(3, 1), (1, 5), (6, 7)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 6}
+
+
+def test_dedup_by_clusters_keeps_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 4), (4, 2), (1, 5)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_clusters(docs, pairs).select("doc_id").collect()
+    )
+    assert kept == [0, 1, 3]
+
+
+def test_dedup_pipeline_pairs_to_keep_list(spark):
+    """End-to-end: synthetic near-dup corpus -> Jaccard pairs -> clusters ->
+    keep-list. Groups of near-identical docs collapse to their min id."""
+    from feature_extraction_spark.ops.dedup import ngram_jaccard_pairs
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the night ends",
+        "sphinx of black quartz judge my vow said the old teacher slowly",
+    ]
+    rows = []
+    for i in range(12):
+        g = i % 3
+        # per-group variants share all but one word -> Jaccard >= 0.6
+        words = base[g].split()
+        if i >= 3:
+            words = words[:-1] + [f"tail{i}"]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_clusters(docs, pairs).select("doc_id").collect()
+    )
+    assert kept == [0, 1, 2]
