@@ -1,0 +1,137 @@
+"""Physical-plan shape guards for the engine's core scale claims (BENCH/
+PLANS.md): exchange counts, broadcast placement, and parquet pushdown.
+These lock in the plans the 100 TB story depends on, so a refactor that
+silently adds a shuffle or breaks pushdown fails CI instead of the bench."""
+
+import pyspark.sql.functions as F
+import pytest
+
+SHUFFLE = "Exchange hashpartitioning"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def turns(spark, transcripts, tmp_path_factory):
+    """Parquet-backed copy of the transcripts table: plan assertions need a
+    clean scan source (the synth fixture's own generator lineage contains a
+    window exchange that would be double-counted per consumer)."""
+    p = str(tmp_path_factory.mktemp("plans") / "turns")
+    transcripts.write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_asof_join_single_shuffle(spark, turns):
+    """Union-tag as-of join: L union R shuffles ONCE on the key (sort-merge
+    cost); no second exchange above the window."""
+    from feature_extraction_spark.ops.asof import asof_join
+
+    right = turns.groupBy("conv_id", "ts").agg(F.max("turn_idx").alias("v"))
+    out = asof_join(
+        turns.select("conv_id", "turn_idx", "ts"), right,
+        on="conv_id", value_cols=["v"],
+    )
+    plan = _plan(out)
+    # the right side's pre-aggregation owns one exchange; the as-of union-tag
+    # window owns exactly one more — nothing else may shuffle
+    assert plan.count(SHUFFLE) == 2, plan
+
+
+def test_asof_join_broadcast_no_fact_shuffle(spark, turns):
+    """Broadcast strategy: the left/fact side is never repartitioned by key
+    (skew immunity) — zero shuffle exchanges outside the tiny right-side
+    collect_list aggregation."""
+    from feature_extraction_spark.ops.asof import asof_join_broadcast
+
+    right = turns.select("conv_id", "ts", F.col("turn_idx").alias("v"))
+    out = asof_join_broadcast(
+        turns.select("conv_id", "turn_idx", "ts"), right,
+        on="conv_id", value_cols=["v"],
+    )
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+    # only the right dim's series-packing aggregation may hash-shuffle
+    # (bounded input); the fact scan flows into the join with no exchange
+    assert plan.count(SHUFFLE) == 1, plan
+
+
+def test_timing_stats_single_shuffle(spark):
+    """U9 tagged-stream kernel: one explode + ONE conditional hash
+    aggregation — exactly one shuffle, not one per grain."""
+    from feature_extraction_spark.ops.timing import timing_stats
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("conv_id"),
+        F.lit(0).cast("long").alias("offset"),
+        F.lit(30_000_000).cast("long").alias("duration"),
+        F.expr(
+            "transform(sequence(0, int(id % 4)), i -> named_struct("
+            "'Word', concat('w', i), 'Duration', bigint(2000000), "
+            "'Offset', bigint(i) * 2500000))"
+        ).alias("word_timing"),
+    )
+    out = timing_stats(df, level="conv", durations=None)
+    plan = _plan(out)
+    assert plan.count(SHUFFLE) == 1, plan
+
+
+def test_windowed_flagship_chain_single_shuffle(spark, turns):
+    """sessionize -> role transition -> rolling -> backfill all share ONE
+    conv_id exchange (re-sorts within partitions are fine; re-shuffles are
+    not)."""
+    from feature_extraction_spark.ops.backfill import backfill
+    from feature_extraction_spark.ops.sessionize import sessionize
+    from feature_extraction_spark.ops.windows import (
+        rolling_turn_features,
+        with_role_transition,
+    )
+
+    t = sessionize(turns, gap_seconds=300.0)
+    t = with_role_transition(t)
+    t = rolling_turn_features(t, trailing_seconds=600, trailing_rows=10)
+    t = t.withColumn("pv", F.when(F.col("role") == "user", 1.0))
+    t = backfill(t, ["pv"])
+    plan = _plan(t)
+    assert plan.count(SHUFFLE) == 1, plan
+
+
+def test_parquet_filter_and_column_pushdown(spark, tmp_path):
+    """A projection+filter over parquet must reach the scan: PushedFilters
+    non-empty and ReadSchema pruned to the selected columns only."""
+    p = str(tmp_path / "docs")
+    spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+    ).write.mode("overwrite").parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .filter(F.col("doc_id") > 500)
+        .select("doc_id", "text")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,500)]" in plan, plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema, plan
+    assert "lang" not in read_schema and "source" not in read_schema, plan
+
+
+def test_dedup_self_join_reuses_exchange(spark, turns):
+    """The shingle-index self-join demands the SAME exchange on both sides
+    (explicit repartition on the join key): the shuffle stage is computed
+    once and reused, so the executed plan shows a ReusedExchange."""
+    from feature_extraction_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = turns.limit(200).select(
+        F.col("turn_idx").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.9, max_shingle_df=None)
+    # AQE finalizes the plan in place only for THIS query execution, so run
+    # an action on the DataFrame itself (a separate noop write would leave
+    # this execution's plan at isFinalPlan=false without ReusedExchange)
+    out.collect()
+    plan = _plan(out)
+    assert "ReusedExchange" in plan, plan
