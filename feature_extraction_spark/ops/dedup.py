@@ -155,11 +155,10 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    # variadic xxhash64 over the band's signature columns directly — no
+    # intermediate string build (concat_ws was ~30% of the banding stage)
     band_buckets = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]),
-            F.lit(seed),
-        )
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(seed))
         for b in range(bands)
     ]
     banded = sig.select(
@@ -186,11 +185,27 @@ def minhash_lsh_dedup(
     **lsh_kwargs,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over shingles; returns
-    confirmed pairs (id_a, id_b, jaccard)."""
+    confirmed pairs (id_a, id_b, jaccard).
+
+    Verification shingles ONLY the documents that appear in a candidate
+    pair (left-semi prune): the corpus-wide shingle pass happens once, in
+    the signature stage — at scale the candidate set is orders of magnitude
+    smaller than the corpus, and AQE turns the semi-join into a broadcast
+    when the id list is small. The candidate set is materialized once
+    (localCheckpoint) — it feeds both the id prune and the final join, and
+    its lineage contains the whole signature pipeline."""
     n = lsh_kwargs.get("shingle_n", 3)
     cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
-    sh = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", _shingles(text_col, n).alias("shset")
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .join(cand_ids, on="id", how="left_semi")
+        .select("id", _shingles(text_col, n).alias("shset"))
     )
     out = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a")
@@ -317,13 +332,31 @@ def simhash_neardup_pairs(
     whenever the SimHash stage has full recall at the threshold — it does on
     the driver testdata with the default ``max_hamming=15``, asserted in
     tests). At scale the candidate stage is the point: the Jaccard join runs
-    only on hamming-close pairs instead of every shingle-sharing pair."""
+    only on hamming-close pairs instead of every shingle-sharing pair.
+
+    SCALE WARNING on ``max_hamming``: chunk width is 64/(d+1) bits, so the
+    bucket key space is 2^(64/(d+1)). d=15 -> 4-bit chunks -> 16 buckets per
+    chunk: candidate generation degenerates toward all-pairs (fine at the
+    driver's test scale, wrong at corpus scale). Production SimHash dedup
+    uses d<=6 (>=9-bit chunks, 512+ buckets) — the Manku et al. WWW'07
+    regime; for looser similarity use MinHash-LSH, whose bucket space does
+    not shrink with the distance bound."""
     cands = simhash_pairs(df, id_col, text_col, max_hamming, seed).select(
         "id_a", "id_b"
     )
-    sh = ensure_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
-    ).select("id", _shingles(text_col, shingle_n).alias("shset"))
+    # materialize once: feeds both the id prune and the final join
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # shingle only the candidate docs (see minhash_lsh_dedup)
+    sh = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .join(cand_ids, on="id", how="left_semi")
+        .select("id", _shingles(text_col, shingle_n).alias("shset"))
+    )
     return (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shset": "sh_b"}), "id_b")
