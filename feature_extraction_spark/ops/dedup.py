@@ -141,6 +141,75 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One-permutation MinHash signatures (same ``mh_*`` schema as
+    ``minhash_signatures``) — the corpus-scale signature scheme.
+
+    Classic k-hash MinHash evaluates k hash functions per shingle
+    (k x |shingles| hashes — the dominant cost of LSH dedup). One-permutation
+    hashing (Li, Owen & Zhang, NIPS 2012) hashes each shingle ONCE, routes
+    it to bin ``h mod k``, and keeps the min per bin; empty bins are filled
+    by circular rotation from the next occupied bin (densification,
+    Shrivastava & Li, ICML 2014) so short documents still yield full
+    signatures. Hash cost drops k-fold; two hash aggregations replace the
+    k-column conditional agg:
+
+      (id, bin) min(h)   -- map-side combinable, 16-byte rows
+      (id)      map<bin, mh> -> densified array -> mh_0..mh_{k-1}
+
+    Bin collision probabilities match classic MinHash closely enough for
+    banding (the published estimator variance is lower than k-hash for
+    |shingles| >> k); the k-hash form stays the default because its recall
+    math is the textbook one. Measured at sf0.1 (short docs): end-to-end
+    LSH dedup ~1.5x faster; the shared shingle/normalize scan is the floor
+    there, while at long-document corpus scale the k-fold hashing saving is
+    the dominant term."""
+    from pyspark.sql import Window
+
+    k = num_hashes
+    base = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    tok = base.select(
+        "id", F.explode(_shingles(text_col, shingle_n)).alias("sh")
+    ).select("id", F.xxhash64("sh", F.lit(seed)).alias("h"))
+    per_bin = tok.groupBy(
+        "id", F.pmod("h", F.lit(k)).cast("int").alias("bin")
+    ).agg(F.min("h").alias("mh"))
+
+    # Densification as positions-covered ranges, NOT per-position array
+    # scans (an O(k^2) interpreted-HOF slice per doc is ~15x slower): each
+    # occupied bin covers the empty positions since the previous occupied
+    # bin; the first occupied bin additionally wraps to cover the tail.
+    # window + sequence-explode + pivot stay inside codegen, and the explode
+    # emits exactly k rows per doc.
+    w = Window.partitionBy("id").orderBy("bin")
+    ranged = per_bin.withColumn("_prev", F.lag("bin").over(w)).withColumn(
+        "_mx", F.max("bin").over(Window.partitionBy("id"))
+    )
+    start = F.when(F.col("_prev").isNull(), F.lit(0)).otherwise(F.col("_prev") + 1)
+    positions = F.concat(
+        F.sequence(start, F.col("bin")),
+        F.when(
+            F.col("_prev").isNull() & (F.col("_mx") < k - 1),
+            F.sequence(F.col("_mx") + 1, F.lit(k - 1)),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    covered = ranged.select("id", "mh", F.explode(positions).alias("pos"))
+    out = (
+        covered.groupBy("id")
+        .pivot("pos", list(range(k)))
+        .agg(F.first("mh"))
+        .withColumnsRenamed({str(i): f"mh_{i}" for i in range(k)})
+    )
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -149,12 +218,16 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    method: str = "khash",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs whose signatures collide in >=1 band.
-    rows_per_band = num_hashes / bands; collision prob ~ s^(rows) per band."""
+    rows_per_band = num_hashes / bands; collision prob ~ s^(rows) per band.
+    ``method``: 'khash' (classic k-hash signatures) or 'oph'
+    (one-permutation, k-fold less hashing — the corpus-scale path)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    sig_fn = {"khash": minhash_signatures, "oph": minhash_signatures_oph}[method]
+    sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
     # variadic xxhash64 over the band's signature columns directly — no
     # intermediate string build (concat_ws was ~30% of the banding stage)
     band_buckets = [

@@ -91,6 +91,57 @@ def test_minhash_lsh_recall(docs):
         assert len(got_set) / len(exp_set) >= 0.9
 
 
+def test_minhash_oph_signature_shape_and_determinism(docs):
+    """OPH signatures: same schema as k-hash, fully densified (no NULLs even
+    for short docs), and deterministic across runs."""
+    from feature_extraction_spark.ops.dedup import minhash_signatures_oph
+
+    a = minhash_signatures_oph(docs, num_hashes=32).toPandas().set_index("id").sort_index()
+    b = minhash_signatures_oph(docs, num_hashes=32).toPandas().set_index("id").sort_index()
+    assert list(a.columns) == [f"mh_{i}" for i in range(32)]
+    assert not a.isna().any().any()
+    assert a.equals(b)
+
+
+def test_minhash_oph_recall(docs):
+    """The one-permutation scale path must match the k-hash candidates'
+    guarantees end-to-end: verified subset of exact pairs, recall >= 0.9."""
+    got = minhash_lsh_dedup(
+        docs, threshold=0.8, num_hashes=128, bands=32, method="oph"
+    ).toPandas()
+    exact = ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    got_set = {(r.id_a, r.id_b) for r in got.itertuples()}
+    exp_set = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    assert got_set.issubset(exp_set)
+    if exp_set:
+        assert len(got_set) / len(exp_set) >= 0.9
+
+
+def test_minhash_oph_estimator_tracks_jaccard(spark):
+    """Signature agreement fraction between two documents approximates
+    their true shingle Jaccard (the MinHash estimator) for OPH too."""
+    import itertools
+
+    from feature_extraction_spark.ops.dedup import minhash_signatures_oph
+
+    base = ("w%d " % i for i in itertools.count())
+    words = [next(base).strip() for _ in range(120)]
+    rows = [
+        (0, " ".join(words)),
+        (1, " ".join(words[:90] + [w + "x" for w in words[90:]])),  # ~0.7 overlap
+        (2, " ".join(w + "y" for w in words)),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures_oph(df, num_hashes=128).toPandas().set_index("id")
+
+    def agree(i, j):
+        return (sig.loc[i].values == sig.loc[j].values).mean()
+
+    assert agree(0, 1) > 0.5  # similar pair: high agreement
+    assert agree(0, 2) < 0.2  # disjoint pair: near-zero agreement
+    assert agree(0, 1) > agree(0, 2) + 0.4
+
+
 def test_simhash_pairs_runs(docs):
     out = simhash_pairs(docs, max_hamming=3).toPandas()
     # simhash of identical normalized text is identical -> exact dupes at
