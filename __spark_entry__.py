@@ -647,6 +647,27 @@ def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: 64-token chunks, 8-token overlap, native
+    sequence+slice explode (ops/chunk.py); DuckDB oracle replays the same
+    start/stride arithmetic."""
+    from feature_extraction_spark.ops.chunk import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=64, overlap=8)
+
+
+def q_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset split: every doc of a `source` lands in the same
+    split (md5-threshold assignment, engine-independent — the oracle runs
+    the identical expression)."""
+    from feature_extraction_spark.ops.chunk import hash_split
+
+    d = _docs(spark, sf_dir)
+    return hash_split(
+        d, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r2"
+    ).select("doc_id", "split")
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy headline query: broadcast the filtered dimension, shuffle
     only the fact tables."""
@@ -871,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs_emb": q_neardup_pairs_emb,
         "neardup_pairs_emb_lsh": q_neardup_pairs_emb_lsh,
         "dedup_clusters_docs": q_dedup_clusters_docs,
+        "chunk_docs": q_chunk_docs,
+        "hash_split_docs": q_hash_split_docs,
         "vocab_filter_docs": q_vocab_filter_docs,
         "truecase_docs": q_truecase_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
@@ -1297,6 +1320,45 @@ common AS (
 SELECT doc.doc_id, coalesce(comp.cluster_id, doc.doc_id) AS cluster_id
 FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id
 """
+    # chunking: same 1-based start/stride arithmetic as ops/chunk.py
+    # (stride 56 = 64 - 8; redundant trailing starts filtered; 0-token docs
+    # emit nothing; chunk_idx = (start-1) // stride, valid because the
+    # filter only removes a suffix of the start list)
+    chunk_docs = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, w,
+    unnest(list_filter(generate_series(1, len(w), 56),
+                       s -> s = 1 OR s + 8 <= len(w))) AS st
+  FROM w WHERE len(w) > 0
+)
+SELECT doc_id,
+  ((st - 1) // 56)::INT AS chunk_idx,
+  array_to_string(w[st:st+63], ' ') AS chunk_text,
+  least(64, len(w) - st + 1)::INT AS n_tokens
+FROM s
+"""
+
+    # hash split: identical md5-threshold expression, thresholds generated
+    # from the same _hex_threshold so the two engines cannot drift
+    from feature_extraction_spark.ops.chunk import _hex_threshold
+
+    t_train = _hex_threshold(0.8)
+    t_val = _hex_threshold(0.9)
+    hash_split_docs = f"""
+WITH h AS (
+  SELECT doc_id, md5(source || chr(31) || 'r2') AS hh FROM documents
+)
+SELECT doc_id,
+  CASE WHEN hh < '{t_train}' THEN 'train'
+       WHEN hh < '{t_val}' THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
     # minhash / simhash driver queries are candidate-generation + exact
     # Jaccard verification at threshold 0.8 with full-recall configs
     # (verified at sf0.001/sf0.01), so their value-level oracle is the
@@ -1753,6 +1815,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         "lsh_topk": cosine_topk,
         "graph_docs": _graph_docs_sql(),
         "dedup_clusters_docs": dedup_clusters,
+        "chunk_docs": chunk_docs,
+        "hash_split_docs": hash_split_docs,
         "vocab_filter_docs": vocab_filter,
         "truecase_docs": truecase,
         "pii_scrub_docs": pii_scrub,

@@ -1,0 +1,112 @@
+"""Training-sequence preparation: document chunking and leakage-safe
+dataset splitting — the two transforms between a cleaned corpus and a
+training dataloader.
+
+- ``chunk_documents``: split each document's token stream into fixed-size
+  chunks with optional overlap (sliding stride), fully native: one
+  `sequence` of chunk starts + `slice` per chunk, exploded — no UDF, no
+  shuffle at all (the chunker is a flat map over the scan; downstream
+  writes decide partitioning). Zero-token documents emit no chunks.
+
+- ``hash_split``: deterministic train/val/test assignment by the HASH OF A
+  KEY (e.g. conv_id), never by row: every row of an entity lands in the
+  same split, so conversation context can never leak across the
+  train/eval boundary. The hash is md5-hex compared against fraction
+  thresholds precomputed as 32-digit hex strings — a pure function of
+  (key, salt) that any engine reproduces bit-for-bit (the DuckDB oracle
+  runs the same expression), stable across Spark versions, partitioning,
+  and cluster size.
+
+Reference parity note: the reference splits datasets by subject-id lists
+maintained by hand (csv manifests); hash_split is the scalable analog with
+the same entity-level integrity guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Explode documents into (id, chunk_idx, chunk_text, n_tokens) rows of
+    at most ``max_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens. stride = max_tokens - overlap; the last chunk may be
+    short; empty documents yield no rows."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+", -1), lambda w: F.length(w) > 0
+    )
+    n = F.size(words)
+    # chunk starts: 1, 1+stride, ... <= n  (1-based for slice); for short
+    # docs a single chunk; for n == 0 an empty sequence -> no rows.
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    # a trailing start that only re-covers overlap tokens (start > n-overlap
+    # and not the first chunk) would emit a fully-redundant chunk; keep
+    # starts whose chunk adds at least one new token
+    starts = F.filter(starts, lambda s: (s == 1) | (s + overlap <= n))
+    chunks = F.transform(starts, lambda s: F.slice(words, s, max_tokens))
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_toks"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", "_toks").alias("chunk_text"),
+        F.size("_toks").alias("n_tokens"),
+    )
+    return out
+
+
+def _hex_threshold(frac: float) -> str:
+    """32-hex-digit string t such that P(md5_hex < t) == frac for a uniform
+    md5 — exact fraction arithmetic over the 16^32 key space."""
+    v = int(frac * (1 << 128))
+    return format(min(v, (1 << 128) - 1), "032x")
+
+
+def split_column(
+    key: Column, fractions: dict[str, float], salt: str = ""
+) -> Column:
+    """Deterministic split label for ``key`` (any column; cast to string).
+    ``fractions`` maps label -> fraction, summing to 1.0 (validated)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    h = F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)))
+    expr = None
+    cum = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        cum += frac
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(last)).alias("split")
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: str | list[str],
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add ``out_col`` with a deterministic split label per ENTITY: all rows
+    sharing ``key_cols`` get the same label (group-integrity; no temporal or
+    contextual leakage across splits). Change ``salt`` to draw a fresh
+    split without touching the data."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return df.withColumn(out_col, split_column(key, fractions, salt))

@@ -1,0 +1,132 @@
+"""chunk_documents + hash_split (ops/chunk.py): python-oracle chunk parity
+across edge cases, reconstruction property, split integrity/fractions."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from feature_extraction_spark.ops.chunk import chunk_documents, hash_split
+
+
+def _chunk_py(text, max_tokens, overlap):
+    ws = [w for w in text.split() if w]
+    if not ws:
+        return []
+    stride = max_tokens - overlap
+    out = []
+    s = 0
+    while s < len(ws):
+        # a chunk starting at s (0-based) adds tokens beyond the previous
+        # chunk's coverage iff s + overlap < len(ws)
+        if s != 0 and s + overlap >= len(ws):
+            break
+        out.append(ws[s : s + max_tokens])
+        s += stride
+    return out
+
+
+@pytest.mark.parametrize(
+    "max_tokens,overlap",
+    [(8, 0), (8, 2), (8, 6), (5, 4), (128, 0)],
+)
+def test_chunk_matches_python_oracle(spark, max_tokens, overlap):
+    texts = [
+        "",
+        "   ",
+        "one",
+        " ".join(f"t{i}" for i in range(7)),
+        " ".join(f"t{i}" for i in range(8)),
+        " ".join(f"t{i}" for i in range(9)),
+        " ".join(f"t{i}" for i in range(40)),
+        "a  b\tc   d",  # multi-whitespace
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = (
+        chunk_documents(df, max_tokens=max_tokens, overlap=overlap)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    exp = []
+    for i, t in enumerate(texts):
+        for ci, chunk in enumerate(_chunk_py(t, max_tokens, overlap)):
+            exp.append((i, ci, " ".join(chunk), len(chunk)))
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in got] == exp
+
+
+def test_chunk_reconstruction_covers_every_token(spark, transcripts):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0) and
+    concatenating reconstructs the original token stream exactly."""
+    overlap, mx = 3, 10
+    docs = transcripts.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        "text",
+    ).filter(F.length("text") > 0)
+    chunks = chunk_documents(docs, max_tokens=mx, overlap=overlap)
+    rebuilt = (
+        chunks.withColumn(
+            "_part",
+            F.when(F.col("chunk_idx") == 0, F.col("chunk_text")).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.split("chunk_text", " ", -1),
+                        overlap + 1,
+                        mx,
+                    ),
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_idx", "_part")))
+                .getField("_part")
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(F.split("text", r"\s+", -1), lambda w: F.length(w) > 0)
+        ).alias("norm"),
+    )
+    bad = rebuilt.join(orig, "doc_id").filter(F.col("rebuilt") != F.col("norm"))
+    assert bad.count() == 0
+
+
+def test_hash_split_group_integrity_and_fractions(spark, transcripts):
+    out = hash_split(transcripts, "conv_id")
+    # every conversation maps to exactly one split
+    per_conv = out.groupBy("conv_id").agg(
+        F.countDistinct("split").alias("n")
+    )
+    assert per_conv.filter(F.col("n") != 1).count() == 0
+
+    # fractions over many keys approach the targets
+    many = spark.range(0, 20_000).select(F.col("id").cast("string").alias("k"))
+    got = (
+        hash_split(many, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    fr = {r["split"]: r["count"] / 20_000 for r in got}
+    assert abs(fr["train"] - 0.8) < 0.02
+    assert abs(fr["val"] - 0.1) < 0.01
+    assert abs(fr["test"] - 0.1) < 0.01
+
+
+def test_hash_split_deterministic_and_salt_sensitive(spark):
+    keys = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    a = {r["k"]: r["split"] for r in hash_split(keys, "k").collect()}
+    b = {r["k"]: r["split"] for r in hash_split(keys, "k").collect()}
+    assert a == b
+    c = {r["k"]: r["split"] for r in hash_split(keys, "k", salt="v2").collect()}
+    assert any(a[k] != c[k] for k in a)
+
+
+def test_hash_split_validates_fractions(spark):
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"train": 0.5, "val": 0.1})
