@@ -119,6 +119,35 @@ def test_parquet_filter_and_column_pushdown(spark, tmp_path):
     assert "lang" not in read_schema and "source" not in read_schema, plan
 
 
+def test_time_partitioned_layout_prunes_partitions(spark, turns, tmp_path):
+    """The 100 TB data-layout story: a table written partitioned by day
+    answers a time-range query by scanning ONLY the matching day
+    directories — the plan carries a PartitionFilter and the scan's file
+    list contains no other day."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "by_day")
+    turns.withColumn("day", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(p)
+    days = sorted(
+        r["day"] for r in spark.read.parquet(p).select("day").distinct().collect()
+    )
+    assert len(days) >= 3, "fixture must span several days"
+    target = days[1]
+    q = spark.read.parquet(p).filter(F.col("day") == F.lit(target))
+    plan = _plan(q)
+    # the scan carries the day equality as a PARTITION filter (pruned from
+    # the directory index before any file is opened), not a data filter
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    import re
+
+    pf = plan.split("PartitionFilters: ")[1].splitlines()[0]
+    assert re.search(r"\(day#\d+ = \S+\)", pf), pf
+    # and the pruned scan returns exactly that day's rows
+    assert q.count() == turns.filter(F.to_date("ts") == F.lit(target)).count()
+
+
 def test_dedup_self_join_reuses_exchange(spark, turns):
     """The shingle-index self-join demands the SAME exchange on both sides
     (explicit repartition on the join key): the shuffle stage is computed
