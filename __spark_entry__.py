@@ -668,6 +668,21 @@ def q_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+_MIX_RATES = {f"src{i}": r for i, r in zip(range(20), [1.0, 0.5, 0.25, 0.1] * 5)}
+
+
+def q_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling: per-source keep rates via deterministic
+    md5 thresholds on doc_id (ops/chunk.mixture_sample); the oracle runs
+    the identical expression."""
+    from feature_extraction_spark.ops.chunk import mixture_sample
+
+    d = _docs(spark, sf_dir)
+    return mixture_sample(
+        d, "source", _MIX_RATES, key_cols="doc_id", salt="mix-r2"
+    ).select("doc_id", "source")
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy headline query: broadcast the filtered dimension, shuffle
     only the fact tables."""
@@ -894,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
+        "mixture_docs": q_mixture_docs,
         "vocab_filter_docs": q_vocab_filter_docs,
         "truecase_docs": q_truecase_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
@@ -1359,6 +1375,18 @@ SELECT doc_id,
 FROM h
 """
 
+    # mixture sampling: per-source md5 thresholds generated from the same
+    # rate table and _hex_threshold as the Spark op
+    mix_cases = " ".join(
+        f"WHEN source = '{g}' AND md5(doc_id::VARCHAR || chr(31) || 'mix-r2')"
+        f" < '{_hex_threshold(r)}' THEN TRUE"
+        for g, r in _MIX_RATES.items()
+    )
+    mixture_docs = f"""
+SELECT doc_id, source FROM documents
+WHERE CASE {mix_cases} ELSE FALSE END
+"""
+
     # minhash / simhash driver queries are candidate-generation + exact
     # Jaccard verification at threshold 0.8 with full-recall configs
     # (verified at sf0.001/sf0.01), so their value-level oracle is the
@@ -1817,6 +1845,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         "dedup_clusters_docs": dedup_clusters,
         "chunk_docs": chunk_docs,
         "hash_split_docs": hash_split_docs,
+        "mixture_docs": mixture_docs,
         "vocab_filter_docs": vocab_filter,
         "truecase_docs": truecase,
         "pii_scrub_docs": pii_scrub,

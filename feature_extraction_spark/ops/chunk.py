@@ -95,6 +95,55 @@ def split_column(
     return (F.lit(last) if expr is None else expr.otherwise(last)).alias("split")
 
 
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: str | list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``fraction`` sample by entity hash: a pure function of
+    (key, salt) — reproducible across runs, engines, and cluster sizes,
+    and NESTED (a 0.2 sample is a subset of a 0.5 sample at the same salt),
+    unlike ``DataFrame.sample``, whose output depends on partitioning.
+    Sampling by entity key keeps groups intact (all-or-nothing)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    h = F.md5(F.concat_ws("\x1f", key, F.lit(salt)))
+    return df.where(h < F.lit(_hex_threshold(fraction)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_cols: str | list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Training-mixture assembly: keep each group of ``group_col`` (a
+    source/domain label) at its own sampling rate — e.g. up-weight curated
+    sources by down-sampling the crawl. Groups absent from ``rates`` are
+    DROPPED (explicit mixture spec). Same deterministic md5-threshold
+    mechanism as ``hash_sample`` over ``key_cols`` (the sampling unit —
+    doc id for per-document rates, conv id for group-intact rates; the
+    GROUP label itself would be all-or-nothing and is deliberately not a
+    default); one scan, no shuffle, and the predicate reaches the parquet
+    scan as a data filter."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1]")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    h = F.md5(F.concat_ws("\x1f", key, F.lit(salt)))
+    cond = F.lit(False)
+    for g, r in rates.items():
+        cond = cond | (
+            (F.col(group_col) == g) & (h < F.lit(_hex_threshold(r)))
+        )
+    return df.where(cond)
+
+
 def hash_split(
     df: DataFrame,
     key_cols: str | list[str],

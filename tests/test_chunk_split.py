@@ -126,6 +126,49 @@ def test_hash_split_deterministic_and_salt_sensitive(spark):
     assert any(a[k] != c[k] for k in a)
 
 
+def test_hash_sample_nested_and_proportional(spark):
+    from feature_extraction_spark.ops.chunk import hash_sample
+
+    keys = spark.range(0, 10_000).select(F.col("id").cast("string").alias("k"))
+    s20 = {r["k"] for r in hash_sample(keys, 0.2, "k").collect()}
+    s50 = {r["k"] for r in hash_sample(keys, 0.5, "k").collect()}
+    assert s20.issubset(s50)  # nested thresholds
+    assert abs(len(s20) / 10_000 - 0.2) < 0.02
+    assert abs(len(s50) / 10_000 - 0.5) < 0.02
+    # group-intact: sampling transcripts by conv_id keeps convs whole
+    assert hash_sample(keys, 0.0, "k").count() == 0
+    assert hash_sample(keys, 1.0, "k").count() == 10_000
+
+
+def test_mixture_sample_rates_and_drops(spark):
+    from feature_extraction_spark.ops.chunk import mixture_sample
+
+    n = 12_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+    out = mixture_sample(
+        df, "source", {"web": 0.1, "books": 1.0}, key_cols="doc_id"
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "code" not in got  # unlisted group dropped
+    assert got["books"] == n // 3  # rate 1.0 keeps everything
+    assert abs(got["web"] / (n // 3) - 0.1) < 0.02
+    # deterministic
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "source", {"web": 0.1, "books": 1.0}, key_cols="doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
 def test_hash_split_validates_fractions(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError):
