@@ -96,12 +96,19 @@ def main() -> None:
     # over billions of rows. min-of-3 timed runs is the steady-state number
     # (JIT promotion is monotone but noisy; min is the stable capability).
     def _timed(df, warmups: int, reps: int) -> float:
+        return _timed_thunk(lambda: df, warmups, reps)
+
+    def _timed_thunk(mk, warmups: int, reps: int) -> float:
+        """Time construction + full forcing of mk()'s DataFrame. Queries are
+        REBUILT inside the loop: operators that materialize an internal
+        stage at construction (e.g. the LSH candidate localCheckpoint)
+        must pay that cost inside the measured window, not before it."""
         for _ in range(warmups):
-            _force(df)
+            _force(mk())
         best = float("inf")
         for _ in range(reps):
             q0 = time.monotonic()
-            _force(df)
+            _force(mk())
             best = min(best, time.monotonic() - q0)
         return best
 
@@ -123,8 +130,8 @@ def main() -> None:
         "tpch_q3", "timing_stats_events", "session_stats_events",
     ]
     for name in headline:
-        df = queries[name](spark, SF_DIR)
-        timings[name] = round(_timed(df, warmups=1, reps=2), 3)
+        mk = lambda name=name: queries[name](spark, SF_DIR)
+        timings[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
 
     total = sum(timings.values())
     print(
