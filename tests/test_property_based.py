@@ -196,3 +196,53 @@ def test_mattr_interval_formula_matches_bruteforce(spark, words, w):
     )
     got = lexdiv_stats(df, level="conv", windows=(w,)).collect()[0][f"MATTR_{w}"]
     assert np.isclose(got, expected), (words, w, got, expected)
+
+
+# ---------------------------------------------------------------- chunking
+
+@st.composite
+def _chunk_case(draw):
+    texts = draw(
+        st.lists(
+            st.lists(
+                st.text(alphabet="abc", min_size=1, max_size=4),
+                min_size=0,
+                max_size=40,
+            ).map(" ".join),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    max_tokens = draw(st.integers(min_value=2, max_value=12))
+    overlap = draw(st.integers(min_value=0, max_value=max_tokens - 1))
+    return texts, max_tokens, overlap
+
+
+@given(case=_chunk_case())
+@settings(**_SETTINGS)
+def test_chunk_documents_matches_python_model(spark, case):
+    from feature_extraction_spark.ops.chunk import chunk_documents
+
+    texts, max_tokens, overlap = case
+    stride = max_tokens - overlap
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            df, max_tokens=max_tokens, overlap=overlap
+        ).collect()
+    )
+    exp = []
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        s, ci = 0, 0
+        while s < len(ws):
+            if s != 0 and s + overlap >= len(ws):
+                break
+            chunk = ws[s : s + max_tokens]
+            exp.append((i, ci, " ".join(chunk), len(chunk)))
+            s += stride
+            ci += 1
+    assert got == sorted(exp)
