@@ -128,6 +128,7 @@ def main() -> None:
         "minhash_pairs_docs", "cosine_topk", "liwc_docs", "quality_docs",
         "daily_stats_events", "asof_purchase_tolerance", "multilevel_events",
         "tpch_q3", "timing_stats_events", "session_stats_events",
+        "dedup_clusters_docs", "chunk_docs", "hash_split_docs", "mixture_docs",
     ]
     for name in headline:
         mk = lambda name=name: queries[name](spark, SF_DIR)

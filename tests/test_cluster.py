@@ -72,6 +72,35 @@ def test_cc_matches_networkx(spark, seed, n, m):
     assert _cc_map(spark, edges) == _nx_map(edges)
 
 
+def test_cc_scale_stress_giant_component(spark):
+    """Skew/scale smoke: a 50k-node star (one giant component — the hot
+    groupBy key a crawl-dup cluster produces) plus 5k random chain/pair
+    components resolves correctly in few rounds; map-side combine keeps the
+    hot root from concentrating |edges| rows on one task."""
+    import random
+
+    n_star, n_small = 50_000, 5_000
+    star = [(0, i) for i in range(1, n_star)]
+    rng = random.Random(3)
+    small = [
+        (n_star + i, n_star + i + 1)
+        for i in range(0, n_small, 2)
+    ]
+    extra = [
+        (n_star + rng.randrange(n_small), n_star + rng.randrange(n_small))
+        for _ in range(n_small)
+    ]
+    pairs = spark.createDataFrame(
+        star + small + extra, "id_a long, id_b long"
+    ).repartition(8)
+    out = connected_components(pairs, max_rounds=15)
+    star_members = out.filter(F.col("id") < n_star)
+    assert star_members.count() == n_star
+    assert star_members.filter(F.col("component") != 0).count() == 0
+    # the small-graph components never leak into the giant one
+    assert out.filter((F.col("id") >= n_star) & (F.col("component") == 0)).count() == 0
+
+
 def test_neardup_clusters_total_mapping(spark):
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     pairs = spark.createDataFrame([(3, 1), (1, 5), (6, 7)], "id_a long, id_b long")
