@@ -55,21 +55,26 @@ def test_cc_string_ids(spark):
 def test_cc_chain_converges_logarithmically(spark):
     """A 256-node path is the adversarial diameter case: naive hash-to-min
     label propagation needs ~256 rounds; the star alternation must finish
-    within a small multiple of log2(n)."""
+    within a small multiple of log2(n). (driver_threshold=0 forces the
+    distributed path.)"""
     n = 256
     edges = [(i, i + 1) for i in range(n - 1)]
-    got = _cc_map(spark, edges, max_rounds=12)
+    got = _cc_map(spark, edges, max_rounds=12, driver_threshold=0)
     assert got == {i: 0 for i in range(n)}
 
 
 @pytest.mark.parametrize("seed,n,m", [(0, 60, 40), (1, 80, 80), (2, 120, 60)])
-def test_cc_matches_networkx(spark, seed, n, m):
+def test_cc_matches_networkx_both_paths(spark, seed, n, m):
+    """Random graphs: the driver union-find fast path and the distributed
+    star alternation must both equal networkx exactly."""
     import random
 
     rng = random.Random(seed)
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
     edges = [(a, b) for a, b in edges if a != b]
-    assert _cc_map(spark, edges) == _nx_map(edges)
+    exp = _nx_map(edges)
+    assert _cc_map(spark, edges) == exp  # driver path (small graph)
+    assert _cc_map(spark, edges, driver_threshold=0) == exp  # distributed
 
 
 def test_cc_scale_stress_giant_component(spark):
@@ -93,7 +98,7 @@ def test_cc_scale_stress_giant_component(spark):
     pairs = spark.createDataFrame(
         star + small + extra, "id_a long, id_b long"
     ).repartition(8)
-    out = connected_components(pairs, max_rounds=15)
+    out = connected_components(pairs, max_rounds=15, driver_threshold=0)
     star_members = out.filter(F.col("id") < n_star)
     assert star_members.count() == n_star
     assert star_members.filter(F.col("component") != 0).count() == 0
