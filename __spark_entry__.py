@@ -225,11 +225,14 @@ def q_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands (4 rows/band): P(miss) per 0.8-similar pair ~(1-0.8^4)^32 = 4e-8,
     so the output equals the exact Jaccard>=0.8 pair set and the query is
     value-checked against the plain-SQL oracle (verified equal at sf0.001
-    and sf0.01)."""
+    and sf0.01). Runs the one-permutation (OPH) signature path — the
+    corpus-scale configuration; the k-hash path is covered by pytest
+    recall tests with the same exact-verification guarantee."""
     from feature_extraction_spark.ops.dedup import minhash_lsh_dedup
 
     out = minhash_lsh_dedup(
-        _docs(spark, sf_dir), threshold=0.8, num_hashes=128, bands=32
+        _docs(spark, sf_dir), threshold=0.8, num_hashes=128, bands=32,
+        method="oph",
     )
     return _r6(out, ["jaccard"])
 

@@ -23,6 +23,13 @@ sharding of extract_timing_features.py:179-190).
 
 The manifest doubles as S2's file-list source (SURVEY §2: manifest-driven
 scan) and carries per-snapshot lineage metrics for the engine.
+
+SINGLE-WRITER assumption (like Hadoop output committers, unlike Iceberg's
+catalog CAS): two concurrent committers to the same table can race the
+pointer rename and the later rename silently wins — readers still only
+ever see one complete snapshot, but the loser's commit is lost. Serialize
+writers per table (the engine's checkpoint steps already do); a real
+multi-writer deployment needs the Iceberg/catalog path in sources/io.py.
 """
 
 from __future__ import annotations

@@ -127,6 +127,30 @@ def test_dedup_by_clusters_keeps_canonical(spark):
     assert kept == [0, 1, 3]
 
 
+def test_embedding_neardup_to_clusters(spark):
+    """The clustering stage composes with the embedding near-dup pair
+    generator unchanged: cosine pairs in, canonical keep-list out."""
+    import numpy as np
+
+    from feature_extraction_spark.ops.similarity import cosine_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(20):
+        v = base[i % 4] + rng.normal(scale=0.01, size=16)  # 4 tight clusters
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_neardup_pairs(emb, threshold=0.99, method="exact")
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup_by_clusters(
+            emb, pairs, id_col="vec_id", src="id_a", dst="id_b"
+        ).collect()
+    )
+    assert kept == [0, 1, 2, 3]  # one canonical vector per cluster
+
+
 def test_dedup_pipeline_pairs_to_keep_list(spark):
     """End-to-end: synthetic near-dup corpus -> Jaccard pairs -> clusters ->
     keep-list. Groups of near-identical docs collapse to their min id."""
