@@ -35,6 +35,13 @@ def tokenize_expr(col: Column) -> Column:
     return F.split(col, " ", -1)
 
 
+def ws_tokens_expr(col: Column) -> Column:
+    """Whitespace tokens with empties dropped — the shared tokenizer for
+    vocab sketches, vocab sizes, and chunking (one definition so token
+    accounting can never diverge between them)."""
+    return F.filter(F.split(col, r"\s+", -1), lambda w: F.length(w) > 0)
+
+
 def syllable_count_expr(word: Column) -> Column:
     """Deterministic syllable heuristic: count of [aeiouy]+ groups in the
     lowercased word; words with letters but no vowel groups count 1;

@@ -27,6 +27,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feature_extraction_spark.functions.text import ws_tokens_expr
+
+
+def _salted_md5(key: Column, salt: str) -> Column:
+    """md5(concat_ws(US, key, salt)) — the single hashing primitive behind
+    every sampler and the splitter, so their nested-sample and
+    split-consistency guarantees cannot silently diverge."""
+    return F.md5(F.concat_ws("\x1f", key, F.lit(salt)))
+
+
+def _entity_hash(key_cols: str | list[str], salt: str) -> Column:
+    """_salted_md5 over the US-joined key columns (string-cast)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return _salted_md5(key, salt)
+
 
 def chunk_documents(
     df: DataFrame,
@@ -42,9 +58,7 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    words = F.filter(
-        F.split(F.col(text_col), r"\s+", -1), lambda w: F.length(w) > 0
-    )
+    words = ws_tokens_expr(F.col(text_col))
     n = F.size(words)
     # chunk starts: 1, 1+stride, ... <= n  (1-based for slice); for short
     # docs a single chunk; for n == 0 an empty sequence -> no rows.
@@ -83,7 +97,7 @@ def split_column(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
-    h = F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)))
+    h = _salted_md5(key.cast("string"), salt)
     expr = None
     cum = 0.0
     labels = list(fractions.items())
@@ -108,10 +122,9 @@ def hash_sample(
     Sampling by entity key keeps groups intact (all-or-nothing)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-    h = F.md5(F.concat_ws("\x1f", key, F.lit(salt)))
-    return df.where(h < F.lit(_hex_threshold(fraction)))
+    return df.where(
+        _entity_hash(key_cols, salt) < F.lit(_hex_threshold(fraction))
+    )
 
 
 def mixture_sample(
@@ -133,9 +146,7 @@ def mixture_sample(
     for g, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {g!r} must be in [0, 1]")
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-    h = F.md5(F.concat_ws("\x1f", key, F.lit(salt)))
+    h = _entity_hash(key_cols, salt)
     cond = F.lit(False)
     for g, r in rates.items():
         cond = cond | (

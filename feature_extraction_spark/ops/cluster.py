@@ -142,16 +142,14 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    nodes = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
-        .distinct()
-    )
 
     def _sig(df: DataFrame) -> tuple:
+        # order-independent checksum via XOR, not SUM: summing 64-bit
+        # hashes overflows bigint, which THROWS on any session with Spark
+        # 4's default ANSI mode (edges are distinct, so XOR loses nothing)
         row = df.agg(
             F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).collect()[0]
         return (row["c"], row["h"])
 
@@ -160,14 +158,24 @@ def connected_components(
         head = e.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
             if not head:
-                return nodes.withColumn("component", F.col("id"))
+                return e.select(F.col("u").alias("id"), F.col("u").alias("component"))
             return _union_find_local(
                 [(r["u"], r["v"]) for r in head],
                 pairs.sparkSession,
                 pairs.schema[src].dataType,
             )
 
-    cur = e.localCheckpoint(eager=True)
+    # checkpoint the CLEANED edge set once; everything downstream — the
+    # star rounds AND the final nodes/join — derives from the materialized
+    # blocks, so the pairs lineage (often a whole LSH candidate pipeline)
+    # never executes a second time.
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    cur = e
     sig = _sig(cur)
     if sig[0] == 0:  # no edges at all -> every node is its own component
         return nodes.withColumn("component", F.col("id"))
@@ -175,7 +183,10 @@ def connected_components(
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _sig(nxt)
-        cur.unpersist()
+        if cur is not e:
+            # never unpersist e itself: localCheckpoint blocks are not
+            # recomputable and the final nodes/join still reads them
+            cur.unpersist()
         cur = nxt
         if nsig == sig:
             break
@@ -222,9 +233,17 @@ def dedup_by_clusters(
     src: str = "id_a",
     dst: str = "id_b",
 ) -> DataFrame:
-    """Keep one canonical document per near-dup cluster: the minimum id.
+    """Keep one canonical document per near-dup cluster: the minimum id
+    AMONG MEMBERS PRESENT IN ``df`` — not the raw cluster label, which can
+    name an id that only exists in ``pairs`` (stale pairs computed over a
+    superset corpus would then drop every surviving member of the cluster).
     Non-canonical members are removed with a left-anti join on ``id_col``
     (the drop list is |non-canonical| rows — tiny next to the corpus)."""
     cl = neardup_clusters(df.select(id_col), pairs, id_col, src, dst)
-    drop = cl.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    keep = cl.groupBy("cluster_id").agg(F.min(id_col).alias("_keep"))
+    drop = (
+        cl.join(keep, "cluster_id")
+        .where(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
     return df.join(drop, id_col, "left_anti")

@@ -81,13 +81,20 @@ def ngram_jaccard_pairs(
     # reused instead of shingling the corpus once per side (2 of the 4
     # shingle passes collapse; measured ~40% faster at sf0.1).
     sh = sh.repartition("sh")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") > max_shingle_df
         )
         sh = sh.join(hot.select("sh"), on="sh", how="left_anti")
+
+    # sizes AFTER the stop-shingle filter: the metric is then Jaccard over
+    # RETAINED shingles on both the numerator and denominator. Pre-filter
+    # sizes with post-filter commons would systematically underestimate —
+    # two identical docs sharing several hot shingles would score
+    # |unique|/(|unique|+2*|hot|) instead of 1.0 and silently vanish from
+    # the pair set exactly on the boilerplate-heavy corpora the cap targets.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -331,12 +338,11 @@ def with_simhash(
                 F.lit(0).cast("long")
             )
         )
-    sigs = votes.select(F.col("id"), sim.alias(out_col))
-    # docs with no words get simhash 0
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(sigs, on="id", how="left")
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")))
+    sigs = votes.select(F.col("id").alias(id_col), sim.alias(out_col))
+    # with_* contract: the input columns are preserved and the signature is
+    # appended; docs with no words get simhash 0
+    return df.join(sigs, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
     )
 
 
@@ -351,7 +357,9 @@ def simhash_pairs(
     (max_hamming+1)-chunk banding (pigeonhole) to avoid all-pairs."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sim = with_simhash(df, id_col, text_col, seed).withColumnRenamed("simhash", "sim")
+    sim = with_simhash(df, id_col, text_col, seed).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sim")
+    )
     banded = sim.select(
         "id",
         "sim",

@@ -84,6 +84,25 @@ def finalize_stat_state(state: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+def is_append_ancestor(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> bool:
+    """True iff ``to_version`` descends from ``from_version`` through
+    append-mode commits only — the condition under which a file-set
+    difference IS the set of added rows. An overwrite anywhere in between
+    rewrites history (old rows may be gone or rewritten into new files),
+    so the difference would silently mix adds with rewrites."""
+    from feature_extraction_spark.sources.snapshots import read_manifest
+
+    v: int | None = to_version
+    while v is not None and v > from_version:
+        m = read_manifest(spark, table, v)
+        if m.get("mode") != "append":
+            return False
+        v = m.get("parent")
+    return v == from_version
+
+
 def snapshot_delta(
     spark: SparkSession,
     table: str,
@@ -94,7 +113,10 @@ def snapshot_delta(
     to ``to_version`` (inclusive; default latest) — resolved from the
     manifests' explicit file lists, so only the new files are ever opened.
     ``from_version=None`` means "everything". Returns None when there is
-    nothing new."""
+    nothing new. Raises ``ValueError`` when the range crosses a
+    non-append (overwrite) commit: the file difference then does NOT equal
+    the added rows — callers must rebuild from the full snapshot instead
+    (``incremental_stat_update`` does this automatically)."""
     from feature_extraction_spark.sources.snapshots import (
         last_committed_version,
         read_manifest,
@@ -105,6 +127,14 @@ def snapshot_delta(
     )
     if v_to is None:
         return None
+    if from_version is not None and not is_append_ancestor(
+        spark, table, from_version, v_to
+    ):
+        raise ValueError(
+            f"v{from_version} is not an append-ancestor of v{v_to} in {table}:"
+            " an overwrite commit rewrote history; the file difference is not"
+            " a row delta. Recompute from the full snapshot."
+        )
     new_files = {f["path"] for f in read_manifest(spark, table, v_to)["files"]}
     if from_version is not None:
         old = {
@@ -151,6 +181,13 @@ def incremental_stat_update(
     if src_v is None or (done_v is not None and src_v <= done_v):
         return None
 
+    if done_v is not None and not is_append_ancestor(
+        spark, source_table, done_v, src_v
+    ):
+        # the source was overwritten since the state's watermark: a file
+        # delta would double-count; rebuild the state from the full snapshot
+        prev_state = None
+        done_v = None
     delta = snapshot_delta(spark, source_table, done_v, src_v)
     if delta is None:
         return None

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from feature_extraction_spark.functions.text import ws_tokens_expr
 from feature_extraction_spark.ops.levels import keys_for
 
 
@@ -102,11 +103,7 @@ def approx_vocab_size(
     every token; this shuffles only the fixed-size HLL registers."""
     toks = df.select(
         *keys_for(level),
-        F.explode(
-            F.filter(
-                F.split(F.col(text_col), r"\s+", -1), lambda w: F.length(w) > 0
-            )
-        ).alias("tok"),
+        F.explode(ws_tokens_expr(F.col(text_col))).alias("tok"),
     )
     return approx_distinct(toks, "tok", level=level, rsd=rsd, out_col="vocab_size")
 
@@ -124,11 +121,7 @@ def vocab_sketches(
     keys = keys_for(level)
     toks = df.select(
         *keys,
-        F.explode(
-            F.filter(
-                F.split(F.col(text_col), r"\s+", -1), lambda w: F.length(w) > 0
-            )
-        ).alias("tok"),
+        F.explode(ws_tokens_expr(F.col(text_col))).alias("tok"),
     )
     return toks.groupBy(*keys).agg(
         F.hll_sketch_agg("tok", F.lit(lg_k)).alias("vocab_sketch")

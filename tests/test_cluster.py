@@ -175,3 +175,33 @@ def test_dedup_pipeline_pairs_to_keep_list(spark):
         r["doc_id"] for r in dedup_by_clusters(docs, pairs).select("doc_id").collect()
     )
     assert kept == [0, 1, 2]
+
+
+def test_cc_distributed_path_under_ansi(spark):
+    """Regression (round-2 review): the fixpoint checksum must not overflow
+    under Spark's default ANSI mode (bit_xor, not sum, of xxhash64)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        edges = [(i, i + 1) for i in range(500)] + [(1000 + i, 1500 + i) for i in range(200)]
+        got = _cc_map(spark, edges, driver_threshold=0)
+        assert got[500] == 0 and got[1500] == 1000
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_dedup_by_clusters_stale_pairs_keep_surviving_member(spark):
+    """Regression (round-2 review): pairs may reference ids no longer in
+    df (stale pair table); the canonical must be the min PRESENT member,
+    never 'drop everyone because the labeled min is gone'."""
+    docs = spark.createDataFrame(
+        [(5, "a"), (7, "a"), (9, "b")], "doc_id long, text string"
+    )
+    # id 1 was deleted from the corpus but remains in the pair table
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect()
+    )
+    assert kept == [5, 9]

@@ -338,3 +338,32 @@ def test_truecase_learn_apply(spark):
     }
     assert out[3] == "again Smith and Smith"
     assert out[4] == "the cat sat"  # initial The normalized to majority 'the'
+
+
+def test_jaccard_stop_shingle_sizes_consistent(spark):
+    """Regression (round-2 review): with max_shingle_df active, sizes must
+    be computed over RETAINED shingles — identical docs that share hot
+    (capped) shingles must still pair at jaccard 1.0, not vanish."""
+    hot = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [(i, hot + f" filler{i} end{i} extra{i}") for i in range(10)]
+    # docs 100/101 are identical: share the hot shingles AND unique ones
+    dup = hot + " unique tail of the duplicated document body here"
+    rows += [(100, dup), (101, dup)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, max_shingle_df=5
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert (100, 101) in pairs, pairs
+    assert pairs[(100, 101)] == 1.0
+
+
+def test_with_simhash_preserves_input_columns(spark):
+    from feature_extraction_spark.ops.dedup import with_simhash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en")], "doc_id long, text string, lang string"
+    )
+    out = with_simhash(docs)
+    assert set(out.columns) == {"doc_id", "text", "lang", "simhash"}
+    assert out.count() == 1

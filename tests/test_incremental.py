@@ -109,3 +109,31 @@ def test_incremental_update_loop_equals_batch(spark, tmp_path):
     ).collect()
     whole = batches[0].unionByName(batches[1]).unionByName(batches[2])
     _check_equals_batch(final, _batch_stats(whole))
+
+
+def test_incremental_update_resets_after_source_overwrite(spark, tmp_path):
+    """Regression (round-2 review): an overwrite commit on the source must
+    NOT be treated as a delta (double counting); the state rebuilds from
+    the full snapshot and still equals the batch answer."""
+    src = str(tmp_path / "src_ow")
+    state = str(tmp_path / "state_ow")
+    b1 = synth_transcripts(spark, n_convs=20, seed=1)
+    b2 = synth_transcripts(spark, n_convs=20, seed=2)
+    commit_snapshot(_wc(b1), src, mode="overwrite")
+    assert incremental_stat_update(spark, src, state, "wc") == 1
+    # source fully rewritten (e.g. re-clean): same + new data in one commit
+    commit_snapshot(_wc(b1.unionByName(b2)), src, mode="overwrite")
+    assert incremental_stat_update(spark, src, state, "wc") == 2
+
+    from feature_extraction_spark.ops.incremental import snapshot_delta
+    from feature_extraction_spark.sources.snapshots import read_snapshot
+
+    final = finalize_stat_state(
+        read_snapshot(spark, state).drop("_src_version"), "wc"
+    ).collect()
+    _check_equals_batch(final, _batch_stats(b1.unionByName(b2)))
+    # and the raw delta API refuses to cross the overwrite
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append-ancestor"):
+        snapshot_delta(spark, src, from_version=1, to_version=2)
