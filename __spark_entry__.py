@@ -1755,12 +1755,16 @@ WITH lw AS (
   SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
   FROM documents
 ), lflat AS (
-  SELECT t['pos'] AS pos, t['form'] AS form
+  SELECT t['pos'] AS pos, t['form'] AS form, t['prev'] AS prev
   FROM (SELECT unnest(list_transform(generate_series(1, len(w)),
-                i -> {'pos': i, 'form': w[i]})) AS t FROM lw)
+                i -> {'pos': i, 'form': w[i],
+                      'prev': CASE WHEN i > 1 THEN w[i-1] ELSE NULL END}))
+          AS t FROM lw)
 ), learn AS (
   SELECT lower(form) AS lword, form, count(*) AS n
-  FROM lflat WHERE pos > 1 GROUP BY lower(form), form
+  FROM lflat
+  WHERE pos > 1 AND NOT regexp_matches(prev, '[.!?]$')
+  GROUP BY lower(form), form
 ), model AS (
   SELECT lword, form FROM (
     SELECT lword, form,

@@ -144,7 +144,10 @@ def asof_join_broadcast(
         if inclusive
         else (lambda e: F.unix_micros(e["_ts"]) < lts)
     )
-    match = F.element_at(F.filter(F.col("_series"), cond), -1)
+    # try_element_at: the filtered series is EMPTY when a left row precedes
+    # every right row for its key — plain element_at(-1) would throw on any
+    # session running Spark 4's default ANSI mode instead of yielding NULL
+    match = F.try_element_at(F.filter(F.col("_series"), cond), F.lit(-1))
     out = joined
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", match[c])

@@ -102,4 +102,14 @@ def lexdiv_stats(
         F.col("n") / (F.lit(1.0) - F.col("V1") / (F.col("V") + F.lit(eps)))
     )
     out = out.withColumn("HS", F.when(F.col("n") == 0, nan()).otherwise(hs))
-    return out.drop("n", "V", "V1")
+    out = out.drop("n", "V", "V1")
+
+    # entities whose EVERY turn has NULL text emit no token rows (posexplode
+    # of NULL yields nothing) and would vanish from the output; keep the
+    # reference's every-entity-gets-a-row contract (NaN features), same as
+    # liwc_features' NULL-text handling
+    entities = transcripts.select(*keys).distinct()
+    out = entities.join(out, on=keys, how="left")
+    for c in [f"MATTR_{w}" for w in ttr_cols] + ["HS"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), nan()))
+    return out

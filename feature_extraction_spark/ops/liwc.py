@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from feature_extraction_spark.functions.text import tokenize_expr
@@ -79,7 +79,9 @@ def liwc_features(
     text_col: str = "text",
 ) -> DataFrame:
     """One row per entity: ``<category>_liwc`` proportion columns."""
-    spark = SparkSession.getActiveSession()
+    # df.sparkSession, not getActiveSession(): the latter is a JVM
+    # thread-local and returns None from worker threads
+    spark = transcripts.sparkSession
     keys = keys_for(level)
     words = tokenize_expr(F.col(text_col))
     transcripts = ensure_parallelism(transcripts.select(*keys, text_col))

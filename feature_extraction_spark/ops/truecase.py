@@ -37,12 +37,20 @@ def learn_case_model(
 
     Deterministic: ties on count break toward the lexicographically
     smallest surface form. Tokens whose majority form is all-lowercase are
-    kept too (they normalize stray mid-sentence capitals back down)."""
-    toks = df.select(
-        F.posexplode(
-            F.filter(tokenize_expr(F.col(text_col)), lambda w: w != "")
-        ).alias("pos", "form")
-    ).filter(F.col("pos") > 0)  # skip force-capitalized initial tokens
+    kept too (they normalize stray mid-sentence capitals back down).
+
+    Skipped observations: the turn-initial token AND any token following
+    sentence-ending punctuation (.!?) — both are force-capitalized by
+    convention; counting them would flip frequent sentence-openers
+    ('the', 'he', ...) to a Titlecase majority corpus-wide."""
+    words = F.filter(tokenize_expr(F.col(text_col)), lambda w: w != "")
+    toks = (
+        df.select(F.posexplode(words).alias("pos", "form"), words.alias("_w"))
+        .filter(F.col("pos") > 0)  # turn-initial
+        .withColumn("_prev", F.element_at("_w", F.col("pos")))  # pos is 0-based
+        .filter(~F.col("_prev").rlike(r"[.!?]$"))  # sentence-initial
+        .select("form")
+    )
     counts = (
         toks.groupBy(F.lower(F.col("form")).alias("lword"), "form")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -46,7 +46,12 @@ def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
     except Exception:
         return default
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    # two-letter forms ("512mb") before single letters: checking bare "b"
+    # first would strip only the b and leave an unparseable "512m"
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
         if raw.endswith(suffix):
             raw = raw[: -len(suffix)]
             mult = m
@@ -72,7 +77,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     where DataFrame.rdd does not exist. Non-scan inputs (local relations)
     repartition unconditionally: they are driver-created and small."""
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    if min_partitions:
+        target = min_partitions
+    else:
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no sparkContext on the client
+            target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     try:
         files = df.inputFiles()
     except Exception:
@@ -115,7 +126,15 @@ def write_table(
         w = df.writeTo(path_or_table)
         if partition_by:
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
-        w.createOrReplace()
+        # honor mode on the Iceberg path too: append must never replace
+        # (silently diverging from the parquet fallback would lose data
+        # exactly on the production substrate)
+        if mode == "append":
+            w.append()
+        elif mode == "overwrite":
+            w.createOrReplace()
+        else:
+            raise ValueError(f"unsupported mode for Iceberg table: {mode!r}")
         return
     writer = df.write.mode(mode)
     if partition_by:

@@ -11,25 +11,32 @@ last committed snapshot* — with Iceberg's mechanism:
   table/
     data/v<N>/part-*.parquet          one immutable data dir per snapshot
     metadata/v<N>.manifest.json       explicit file list + rows/bytes + info
-    metadata/VERSION                  pointer file: last committed version
+    metadata/v<N>.commit              commit marker: THE commit point
+    metadata/VERSION                  human-readable cache of the latest
 
 Commit protocol (all IO via the Hadoop FS API — file://, hdfs://, s3a://):
-data files -> manifest -> pointer swap (temp write + rename), mirroring
-Iceberg's metadata-pointer swap. Readers resolve pointer -> manifest ->
-explicit file list, and the manifest IS the scan's file source: a failed or
-in-flight write is never visible, and stray files in the data dir are never
-read (reference analog: the ad hoc per-id CSV checkpoints + job_num
-sharding of extract_timing_features.py:179-190).
+data files -> manifest -> commit MARKER (atomic one-shot file create — the
+commit point) -> VERSION cache refresh (best-effort). Readers resolve
+max(committed marker) -> manifest -> explicit file list, and the manifest
+IS the scan's file source: a failed or in-flight write is never visible,
+and stray files in the data dir are never read (reference analog: the ad
+hoc per-id CSV checkpoints + job_num sharding of
+extract_timing_features.py:179-190). A marker per version (rather than
+swapping one mutable pointer file) means no crash window can lose the
+committed-version record: delete-then-rename of a single VERSION file
+would leave the table apparently empty — and the NEXT commit restarting
+at v1 over live data — if the writer died between the two operations.
 
 The manifest doubles as S2's file-list source (SURVEY §2: manifest-driven
 scan) and carries per-snapshot lineage metrics for the engine.
 
 SINGLE-WRITER assumption (like Hadoop output committers, unlike Iceberg's
-catalog CAS): two concurrent committers to the same table can race the
-pointer rename and the later rename silently wins — readers still only
-ever see one complete snapshot, but the loser's commit is lost. Serialize
-writers per table (the engine's checkpoint steps already do); a real
-multi-writer deployment needs the Iceberg/catalog path in sources/io.py.
+catalog CAS): two concurrent committers can both compute the same next
+version and race the marker/data writes for it — readers still only ever
+see one complete snapshot, but one writer's commit is silently lost.
+Serialize writers per table (the engine's checkpoint steps already do); a
+real multi-writer deployment needs the Iceberg/catalog path in
+sources/io.py.
 """
 
 from __future__ import annotations
@@ -75,14 +82,31 @@ def _manifest_path(table: str, version: int) -> str:
     return posixpath.join(_meta_dir(table), f"v{version}.manifest.json")
 
 
+def _marker_path(table: str, version: int) -> str:
+    return posixpath.join(_meta_dir(table), f"v{version}.commit")
+
+
+def _committed_versions(spark: SparkSession, table: str) -> list[int]:
+    meta = _meta_dir(table)
+    if not _fs_exists(spark, meta):
+        return []
+    fs, jpath = _hadoop_fs(spark, meta)
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".commit"):
+            out.append(int(name[1 : -len(".commit")]))
+    return sorted(out)
+
+
 def last_committed_version(spark: SparkSession, table: str) -> int | None:
-    """The snapshot version the pointer file names, or None for an empty /
-    never-committed table (a crashed job that wrote data but not the
-    pointer leaves the table at its previous version)."""
-    ptr = _pointer_path(table)
-    if not _fs_exists(spark, ptr):
-        return None
-    return int(_fs_read_text(spark, ptr).strip())
+    """The highest version with a commit marker, or None for an empty /
+    never-committed table (a crashed job that wrote data or even a manifest
+    but no marker leaves the table at its previous version). The markers —
+    not the VERSION cache file — are authoritative: a one-shot file create
+    has no crash window, where a mutable-pointer swap does."""
+    versions = _committed_versions(spark, table)
+    return versions[-1] if versions else None
 
 
 def read_manifest(spark: SparkSession, table: str, version: int) -> dict:
@@ -102,6 +126,9 @@ def commit_snapshot(
     The pointer swap is the commit point — readers either see the previous
     snapshot or the complete new one, never a partial write.
     """
+    if mode not in ("overwrite", "append"):
+        # validate BEFORE the (possibly hours-long) data write
+        raise ValueError(f"unknown snapshot mode: {mode}")
     spark = df.sparkSession
     t0 = time.monotonic()
     parent = last_committed_version(spark, table)
@@ -124,8 +151,6 @@ def commit_snapshot(
         prev = read_manifest(spark, table, parent)
         files = [(f["path"], f["bytes"]) for f in prev["files"]] + files
         prev_rows = int(prev["rows"])
-    elif mode not in ("overwrite", "append"):
-        raise ValueError(f"unknown snapshot mode: {mode}")
 
     wall = time.monotonic() - t0
     manifest = {
@@ -140,18 +165,24 @@ def commit_snapshot(
     }
     _fs_write_text(spark, _manifest_path(table, version), json.dumps(manifest))
 
-    # pointer swap: write temp, then rename over VERSION (Iceberg's
-    # metadata-pointer swap; on HDFS/S3 committers rename is the atomic
-    # primitive — raw local FS rename-over-existing needs the delete first)
-    ptr = _pointer_path(table)
-    tmp = ptr + f".tmp.v{version}"
-    _fs_write_text(spark, tmp, str(version))
-    fs, jptr = _hadoop_fs(spark, ptr)
-    if fs.exists(jptr):
-        fs.delete(jptr, False)
-    _, jtmp = _hadoop_fs(spark, tmp)
-    if not fs.rename(jtmp, jptr):
-        raise IOError(f"snapshot commit failed: rename {tmp} -> {ptr}")
+    # THE commit point: one-shot creation of the per-version marker — a new
+    # filename, so there is no delete/rename window in which a crash could
+    # lose the committed-version record
+    _fs_write_text(spark, _marker_path(table, version), str(version))
+
+    # best-effort refresh of the human-readable VERSION cache (markers are
+    # authoritative; a crash here affects nothing)
+    try:
+        ptr = _pointer_path(table)
+        tmp = ptr + f".tmp.v{version}"
+        _fs_write_text(spark, tmp, str(version))
+        fs, jptr = _hadoop_fs(spark, ptr)
+        if fs.exists(jptr):
+            fs.delete(jptr, False)
+        _, jtmp = _hadoop_fs(spark, tmp)
+        fs.rename(jtmp, jptr)
+    except Exception:
+        pass
 
     return SnapshotInfo(
         version,
@@ -174,6 +205,9 @@ def read_snapshot(
     v = version if version is not None else last_committed_version(spark, table)
     if v is None:
         raise FileNotFoundError(f"no committed snapshot in {table}")
+    if version is not None and not _fs_exists(spark, _marker_path(table, v)):
+        # a manifest without its marker is a crashed in-flight write
+        raise FileNotFoundError(f"snapshot v{v} of {table} was never committed")
     manifest = read_manifest(spark, table, v)
     paths = [f["path"] for f in manifest["files"]]
     if not paths:
@@ -182,14 +216,7 @@ def read_snapshot(
 
 
 def snapshot_versions(spark: SparkSession, table: str) -> list[int]:
-    """All committed versions (manifest files present), ascending."""
-    meta = _meta_dir(table)
-    if not _fs_exists(spark, meta):
-        return []
-    fs, jpath = _hadoop_fs(spark, meta)
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if name.startswith("v") and name.endswith(".manifest.json"):
-            out.append(int(name[1:].split(".")[0]))
-    return sorted(out)
+    """All COMMITTED versions (commit markers present), ascending. A
+    manifest without its marker is a crashed in-flight write and is not
+    listed — time travel can never land on an uncommitted snapshot."""
+    return _committed_versions(spark, table)

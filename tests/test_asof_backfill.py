@@ -167,3 +167,29 @@ def test_asof_join_auto_picks_strategy(spark, asof_inputs):
     assert vals(
         asof_join_broadcast(left, right, on="conv_id", value_cols=["score"])
     ) == base
+
+
+def test_asof_broadcast_ansi_left_precedes_all_rights(spark):
+    """Regression (round-2 review): a left row earlier than every right row
+    has an EMPTY filtered series; the lookup must yield NULL, not throw,
+    under Spark 4's default ANSI mode (try_element_at)."""
+    import datetime as dt
+
+    from feature_extraction_spark.ops.asof import asof_join_broadcast
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        left = spark.createDataFrame(
+            [("k", dt.datetime(2024, 1, 1)), ("k", dt.datetime(2024, 1, 3))],
+            "conv_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("k", dt.datetime(2024, 1, 2), 7.0)],
+            "conv_id string, ts timestamp, v double",
+        )
+        out = asof_join_broadcast(left, right, on="conv_id", value_cols=["v"])
+        rows = {r["ts"].day: r["v_asof"] for r in out.collect()}
+        assert rows[1] is None and rows[3] == 7.0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -173,3 +173,28 @@ def test_hash_split_validates_fractions(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError):
         hash_split(df, "k", {"train": 0.5, "val": 0.1})
+
+
+def test_truecase_skips_sentence_initial_observations(spark):
+    """Regression (round-2 review): tokens after sentence-ending
+    punctuation are force-capitalized and must not flip a word's learned
+    majority casing (the docstring's promise, previously turn-initial
+    only)."""
+    from feature_extraction_spark.ops.truecase import (
+        apply_truecase,
+        learn_case_model,
+    )
+
+    rows = [
+        (i, "He left. The end came. The dog barked and the cat slept.")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = {r["lword"]: r["form"] for r in learn_case_model(docs).collect()}
+    # 'The' appears only turn-/sentence-initially; mid-sentence 'the' twice
+    # per doc -> majority must be lowercase
+    assert model["the"] == "the"
+    out = apply_truecase(
+        docs.limit(1), learn_case_model(docs)
+    ).collect()[0]["text_truecased"]
+    assert "The end" not in out or "the end" in out

@@ -222,3 +222,26 @@ def test_liwc_null_text(spark):
     assert np.isclose(got.loc["c1", "negemo_liwc"], 0.5)
     # c2: all NULL -> NaN proportions
     assert np.isnan(got.loc["c2", "posemo_liwc"])
+
+
+def test_lexdiv_null_text_entity_keeps_row(spark):
+    """Regression (round-2 review): an entity whose every turn has NULL
+    text must yield a NaN feature row, not vanish (same contract as
+    liwc_features)."""
+    import datetime as dt
+    import math
+
+    from feature_extraction_spark.ops.lexdiv import lexdiv_stats
+
+    rows = [
+        ("c1", 0, "good words here and more", dt.datetime(2024, 1, 1)),
+        ("c2", 0, None, dt.datetime(2024, 1, 1)),
+        ("c2", 1, None, dt.datetime(2024, 1, 1, 0, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+    out = {r["conv_id"]: r for r in lexdiv_stats(df, level="conv").collect()}
+    assert set(out) == {"c1", "c2"}
+    assert math.isnan(out["c2"]["MATTR_10"]) and math.isnan(out["c2"]["HS"])
+    assert out["c1"]["MATTR_10"] == 1.0  # 5 distinct words, window=n fallback

@@ -87,12 +87,15 @@ def test_pipeline_resume_from_last_committed_snapshot(spark, transcripts, tmp_pa
     m1 = {m.step: m for m in pipe.metrics}
     assert not m1["sess"].resumed and m1["sess"].rows > 0 and m1["sess"].bytes > 0
 
-    # crash between steps: agg's pointer is gone -> ONLY agg recomputes,
-    # sess resumes from its committed snapshot
+    # crash between steps: agg's commit record is gone -> ONLY agg
+    # recomputes, sess resumes from its committed snapshot
     from feature_extraction_spark.fsutil import hadoop_fs
 
-    fs, jpath = hadoop_fs(spark, posixpath.join(ck, "agg", "metadata", "VERSION"))
-    fs.delete(jpath, False)
+    for artifact in ("VERSION", "v1.commit"):
+        fs, jpath = hadoop_fs(
+            spark, posixpath.join(ck, "agg", "metadata", artifact)
+        )
+        fs.delete(jpath, False)
 
     out2 = pipe.run(transcripts, checkpoint_dir=ck).toPandas()
     m2 = {m.step: m for m in pipe.metrics}
@@ -108,3 +111,51 @@ def test_pipeline_resume_from_last_committed_snapshot(spark, transcripts, tmp_pa
     m3 = {m.step: m for m in pipe.metrics}
     assert m3["sess"].resumed and m3["agg"].resumed
     assert calls["sess"] == 1 and calls["agg"] == 2
+
+
+def test_commit_marker_survives_version_cache_loss(spark, tmp_path):
+    """Regression (round-2 review): the commit record is a per-version
+    marker file; losing the mutable VERSION cache (the old protocol's
+    crash window) must not reset the table to 'never committed'."""
+    table = "file://" + str(tmp_path / "t_marker")
+    commit_snapshot(_df(spark, 0, 30), table)
+    commit_snapshot(_df(spark, 30, 50), table, mode="append")
+
+    from feature_extraction_spark.fsutil import hadoop_fs
+
+    fs, jpath = hadoop_fs(spark, posixpath.join(table, "metadata", "VERSION"))
+    fs.delete(jpath, False)
+    assert last_committed_version(spark, table) == 2
+    assert read_snapshot(spark, table).count() == 50
+    # and the NEXT commit continues at v3 (no restart-at-v1 data loss)
+    info = commit_snapshot(_df(spark, 50, 60), table, mode="append")
+    assert info.version == 3
+    assert read_snapshot(spark, table).count() == 60
+
+
+def test_manifest_without_marker_is_uncommitted(spark, tmp_path):
+    """A crash AFTER the manifest write but BEFORE the marker leaves the
+    snapshot invisible: not listed, not readable, not resumed-from."""
+    import json as _json
+
+    from feature_extraction_spark.fsutil import fs_write_text
+    from feature_extraction_spark.sources.snapshots import snapshot_versions
+
+    table = "file://" + str(tmp_path / "t_mf")
+    commit_snapshot(_df(spark, 0, 40), table)
+    # simulate in-flight v2: data + manifest exist, no marker
+    _df(spark, 40, 45).write.mode("overwrite").parquet(
+        posixpath.join(table, "data", "v2")
+    )
+    fs_write_text(
+        spark,
+        posixpath.join(table, "metadata", "v2.manifest.json"),
+        _json.dumps({"version": 2, "parent": 1, "mode": "append", "rows": 5,
+                     "new_rows": 5, "bytes": 0, "files": [], "wall_s": 0}),
+    )
+    assert last_committed_version(spark, table) == 1
+    assert snapshot_versions(spark, table) == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="never committed"):
+        read_snapshot(spark, table, version=2)

@@ -184,3 +184,21 @@ def test_bucketed_join_skips_exchange(spark, transcripts, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.turns_b")
         spark.sql("DROP TABLE IF EXISTS bkt.dim_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_size_conf_two_letter_suffixes(spark):
+    """Regression (round-2 review): Spark-accepted forms like '512mb' must
+    parse, not silently fall back to the default."""
+    from feature_extraction_spark.sources.io import _size_conf_bytes
+
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    try:
+        for raw, expected in [
+            ("512mb", 512 << 20), ("64kb", 64 << 10), ("1gb", 1 << 30),
+            ("128m", 128 << 20), ("134217728b", 134217728), ("134217728", 134217728),
+        ]:
+            spark.conf.set(key, raw)
+            assert _size_conf_bytes(spark, key, 0) == expected, raw
+    finally:
+        spark.conf.set(key, prev)
