@@ -198,6 +198,11 @@ def ivf_train(
         )
         new = {c: dict() for c in range(len(centroids))}
         for r in agg:
+            # a zero-norm vector has NULL cosine to every centroid and
+            # assigns to cluster NULL — skip it rather than KeyError the
+            # whole training job on one padding embedding
+            if r["ivf_cluster"] is None:
+                continue
             new[r["ivf_cluster"]][r["pos"]] = r["m"]
         centroids = [
             [new[c][p] for p in sorted(new[c])] if new.get(c) else centroids[c]
@@ -285,20 +290,29 @@ def cosine_neardup_pairs(
     buckets = F.array(
         *[lsh_bucket_expr(F.col("v"), dim, planes, t, seed) for t in range(tables)]
     )
-    banded = base.select(
-        "id", "v", F.posexplode(buckets).alias("tbl", "bucket")
-    )
-    # same-keyed explicit exchange -> self-join reuses one shuffle stage
+    # banded rows carry ONLY the id (8-byte shuffle rows); a near-dup pair
+    # collides in most of the `tables` hash tables, so candidates are
+    # deduplicated BEFORE the exact-cosine re-rank — the interpreted
+    # zip_with/aggregate dot product (the dominant cost) runs once per
+    # distinct pair instead of once per collision, and the distinct
+    # shuffle moves id pairs, not recomputed scores + vectors.
+    banded = base.select("id", F.posexplode(buckets).alias("tbl", "bucket"))
     banded = banded.repartition("tbl", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    cand_ids = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return cands.filter(F.col("cosine") >= threshold)
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("_va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"))
+    pairs = (
+        cand_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

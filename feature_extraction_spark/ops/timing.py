@@ -38,6 +38,18 @@ def _bundle(col, prefix: str):
     ]
 
 
+def tag_struct(k: str, v):
+    """(k, v) struct for the tagged value stream — SHARED by this kernel
+    and the Kaldi variant (sources/kaldi.py) so the stream encoding cannot
+    drift between them."""
+    return F.struct(F.lit(k).alias("k"), v.cast("double").alias("v"))
+
+
+def cond_stat_bundle(kind: str, prefix: str):
+    """max/min/mean/med/std of the tagged stream's values for one grain."""
+    return _bundle(F.when(F.col("k") == kind, F.col("v")), prefix)
+
+
 def with_turn_timing(df: DataFrame) -> DataFrame:
     """Add per-turn timing intermediates: seg_sec, word_durs_ms (array),
     sil_durs_ms (array, zero-filtered), wps_seg.
@@ -80,7 +92,11 @@ def with_turn_timing(df: DataFrame) -> DataFrame:
         .withColumn("word_durs_ms", word_durs)
         .withColumn("sil_durs_ms", sils)
         .withColumn(
-            "wps_seg", F.size(wt).cast("double") / F.col("seg_sec")
+            # nan_guard, not bare division: a zero-duration turn must carry
+            # NaN into the wps bundle (the reference's ratio convention),
+            # not a NULL that aggregates silently skip
+            "wps_seg",
+            nan_guard_div(F.size(wt).cast("double"), F.col("seg_sec")),
         )
     )
 
@@ -110,9 +126,7 @@ def timing_stats(
     # (outside whole-stage codegen), so the repeated evaluation dominates.
     # Tagging each value with its grain ('seg'/'wps'/'word'/'sil') costs one
     # explode and shuffles once, with map-side partial aggregation.
-    def tag(k, v):
-        return F.struct(F.lit(k).alias("k"), v.cast("double").alias("v"))
-
+    tag = tag_struct
     stream = t.select(
         *keys,
         F.explode(
@@ -125,16 +139,7 @@ def timing_stats(
         ).alias("e"),
     ).select(*keys, F.col("e.k").alias("k"), F.col("e.v").alias("v"))
 
-    def _cond_bundle(kind: str, prefix: str):
-        v = F.when(F.col("k") == kind, F.col("v"))
-        return [
-            F.max(v).cast("double").alias(f"{prefix}_max"),
-            F.min(v).cast("double").alias(f"{prefix}_min"),
-            F.mean(v).alias(f"{prefix}_mean"),
-            F.median(v).alias(f"{prefix}_med"),
-            F.stddev_pop(v).alias(f"{prefix}_std"),
-        ]
-
+    _cond_bundle = cond_stat_bundle
     seg_v = F.when(F.col("k") == "seg", F.col("v"))
     out = stream.groupBy(*keys).agg(
         *_cond_bundle("seg", "segments"),
@@ -157,11 +162,9 @@ def timing_stats(
     for p in ("words", "silences"):
         for s in ("max", "min", "mean", "med", "std"):
             out = out.withColumn(f"{p}_{s}", F.coalesce(F.col(f"{p}_{s}"), nan()))
-    out = (
-        out.withColumn("word_count", F.coalesce(F.col("word_count"), F.lit(0.0)))
-        .withColumn("sil_count", F.coalesce(F.col("sil_count"), F.lit(0.0)))
-        .withColumn("sil_duration", F.coalesce(F.col("sil_duration"), F.lit(0.0)))
-    )
+    # (word_count / sil_count need no coalesce: F.count returns 0, not
+    # NULL, for groups with no matching rows; sil_duration's coalesce is
+    # inside its aggregate above)
 
     out = (
         out.withColumn(

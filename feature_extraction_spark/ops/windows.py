@@ -10,7 +10,12 @@ Reference blueprints:
   role-transition bigrams via lag(role).
 - W8 rolling aggregates are an engine extension mandated by the north_rule:
   trailing event-time frames only (rangeBetween(-delta, 0)) — zero temporal
-  leakage by construction (frame never extends past the current row).
+  leakage by construction: the frame never includes any LATER event time.
+  Tie semantics (inherent to SQL RANGE frames): rows sharing the exact
+  same timestamp are peers and see each other — information carried by a
+  simultaneous event counts as available at that timestamp. Rows-frames
+  (roll_wc_mean_k) use the (ts, turn_idx) total order and exclude
+  later-tied rows.
 
 All pure Window expressions: one shuffle keyed by conv_id, whole-stage
 codegen end-to-end, no Python.
@@ -21,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from feature_extraction_spark.functions.text import nan_guard_div
+from feature_extraction_spark.functions.text import nan_guard_div, tokenize_expr
 
 # Stable turn ordering invariant (input_hint): ts first, turn_idx tiebreak.
 ORDER_COLS = ["ts", "turn_idx"]
@@ -119,7 +124,7 @@ def rolling_turn_features(
         .rowsBetween(-(trailing_rows - 1), 0)
     )
     T = trailing_seconds
-    wc = F.size(F.split(F.col("text"), " ", -1))
+    wc = F.size(tokenize_expr(F.col("text")))
     out = (
         df.withColumn(f"roll_turns_{T}s", F.count(F.lit(1)).over(w_range).cast("double"))
         .withColumn(

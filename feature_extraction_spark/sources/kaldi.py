@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from feature_extraction_spark.functions.text import nan_guard_div as _ng
+
 MARKERS = ("sil", "[noise]", "[laughter]")
 
 
@@ -152,8 +154,8 @@ def kaldi_segment_times(lines: DataFrame) -> DataFrame:
             ),
             "word_count",
         )
-        .withColumn("wps", F.col("word_count") / F.col("seg_dur_sec"))
-        .withColumn("pps", F.size("phone_durs_ms") / F.col("seg_dur_sec"))
+        .withColumn("wps", _ng(F.col("word_count"), F.col("seg_dur_sec")))
+        .withColumn("pps", _ng(F.size("phone_durs_ms"), F.col("seg_dur_sec")))
     )
     return out
 
@@ -172,25 +174,16 @@ def kaldi_timing_stats(
     ``durations``: optional dim with group keys + ``duration_ms`` (summed
     per group = reference J4's total call duration)."""
     from feature_extraction_spark.functions.text import nan, nan_guard_div
+    from feature_extraction_spark.ops.timing import cond_stat_bundle, tag_struct
 
     keys = list(group_keys)
 
-    def bundle(col, prefix):
-        return [
-            F.max(col).cast("double").alias(f"{prefix}_max"),
-            F.min(col).cast("double").alias(f"{prefix}_min"),
-            F.mean(col).alias(f"{prefix}_mean"),
-            F.median(col).alias(f"{prefix}_med"),
-            F.stddev_pop(col).alias(f"{prefix}_std"),
-        ]
-
     # ONE tagged value stream + ONE conditional hash aggregation (same
-    # rationale as ops/timing.py:timing_stats): the per-grain form re-ran
+    # rationale as ops/timing.py:timing_stats, with the shared kernel
+    # helpers so the two packs cannot drift): the per-grain form re-ran
     # the whole upstream parse + island pipeline once per grain (4x) and
     # shuffled 4 times + 3 joins.
-    def tag(k, v):
-        return F.struct(F.lit(k).alias("k"), v.cast("double").alias("v"))
-
+    tag = tag_struct
     stream = segment_times.select(
         *keys,
         F.explode(
@@ -205,10 +198,7 @@ def kaldi_timing_stats(
         ).alias("e"),
     ).select(*keys, F.col("e.k").alias("k"), F.col("e.v").alias("v"))
 
-    def cond_bundle(kind, prefix):
-        v = F.when(F.col("k") == kind, F.col("v"))
-        return bundle(v, prefix)
-
+    cond_bundle = cond_stat_bundle
     seg_v = F.when(F.col("k") == "seg", F.col("v"))
     out = stream.groupBy(*keys).agg(
         *cond_bundle("seg", "segments"),
@@ -233,12 +223,10 @@ def kaldi_timing_stats(
     for p in ("words", "silences", "phones"):
         for s in ("max", "min", "mean", "med", "std"):
             out = out.withColumn(f"{p}_{s}", F.coalesce(F.col(f"{p}_{s}"), nan()))
+    # counts need no coalesce (F.count yields 0, not NULL); sil_duration's
+    # coalesce is inside its aggregate
     out = (
-        out.withColumn("word_count", F.coalesce(F.col("word_count"), F.lit(0.0)))
-        .withColumn("phone_count", F.coalesce(F.col("phone_count"), F.lit(0.0)))
-        .withColumn("sil_count", F.coalesce(F.col("sil_count"), F.lit(0.0)))
-        .withColumn("sil_duration", F.coalesce(F.col("sil_duration"), F.lit(0.0)))
-        .withColumn("spk_sil_ratio", nan_guard_div(F.col("spk_duration"), F.col("sil_duration")))
+        out.withColumn("spk_sil_ratio", nan_guard_div(F.col("spk_duration"), F.col("sil_duration")))
         .withColumn("sps", nan_guard_div(F.col("sil_count"), F.col("spk_duration")))
         .withColumn("wps", nan_guard_div(F.col("word_count"), F.col("spk_duration")))
         .withColumn("pps", nan_guard_div(F.col("phone_count"), F.col("spk_duration")))

@@ -4,7 +4,12 @@ The reference is purely batch (SURVEY.md §2.5); these are the engine
 extensions for streams of transcript turns: gap-based session windows with
 watermarked late-data handling, and sliding-window turn-rate aggregates.
 Semantics match the batch ops (sessionize/session_bounds) — a session closes
-when no turn arrives within the gap.
+when no turn arrives within the gap — with ONE boundary-exact difference
+inherent to ``session_window``: a gap of EXACTLY the threshold splits here
+(the window [t, t+gap) does not overlap an event at t+gap) while the batch
+op's strict ``gap > threshold`` test keeps the pair together. Real event
+times hit the exact boundary with measure zero; the stateful sessionizer
+(streaming/stateful.py) uses the batch comparison and has no such skew.
 """
 
 from __future__ import annotations

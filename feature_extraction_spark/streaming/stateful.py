@@ -54,8 +54,15 @@ def stream_sessionize_stateful(
         if state.hasTimedOut:
             if state.exists:
                 sid, start, last, n, ntool = state.get
-                out.append((conv_id, sid, start, last, n, ntool))
-                state.remove()
+                if n > 0:
+                    out.append((conv_id, sid, start, last, n, ntool))
+                # KEEP the state (advance the counter, clear the open
+                # session) instead of remove(): dropping it would restart
+                # the next session at session_id=0, colliding with the one
+                # just emitted under the same (conv_id, session_id) key.
+                # Cost: one tiny state row per conversation, retained; no
+                # timeout is re-armed until new data opens a session.
+                state.update((sid + 1, None, None, 0, 0))
             yield pd.DataFrame(out, columns=OUTPUT_SCHEMA.fieldNames())
             return
 
@@ -77,7 +84,12 @@ def stream_sessionize_stateful(
                 sid += 1
                 start, last, n, ntool = r.ts_us, r.ts_us, 1, is_tool
             else:
-                last = r.ts_us
+                # late-but-within-watermark rows (ts_us < last) join the
+                # open session WITHOUT regressing its bounds: last must
+                # stay the max event time seen or session_end goes
+                # backward and the next gap test spuriously splits
+                last = max(last, r.ts_us)
+                start = min(start, r.ts_us)
                 n += 1
                 ntool += is_tool
 
