@@ -1498,11 +1498,14 @@ WITH b AS (
   FROM documents
 ), m AS (
   SELECT doc_id, n_chars, len(words) AS n_words,
-    list_sum(list_transform(words, w -> length(w)))::double / len(words) AS mean_wlen,
-    punct::double / n_chars AS punct_ratio,
-    upper_n::double / n_chars AS upper_ratio,
-    len(list_filter(words, w -> w IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','this','have','be')))::double / len(words) AS stop_ratio,
-    len(list_distinct(words))::double / len(words) AS distinct_ratio
+    CASE WHEN len(words) = 0 THEN 'nan'::double
+         ELSE list_sum(list_transform(words, w -> length(w)))::double / len(words) END AS mean_wlen,
+    CASE WHEN n_chars = 0 THEN 'nan'::double ELSE punct::double / n_chars END AS punct_ratio,
+    CASE WHEN n_chars = 0 THEN 'nan'::double ELSE upper_n::double / n_chars END AS upper_ratio,
+    CASE WHEN len(words) = 0 THEN 'nan'::double
+         ELSE len(list_filter(words, w -> w IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','this','have','be')))::double / len(words) END AS stop_ratio,
+    CASE WHEN len(words) = 0 THEN 'nan'::double
+         ELSE len(list_distinct(words))::double / len(words) END AS distinct_ratio
   FROM b
 )
 SELECT doc_id,
@@ -1513,9 +1516,11 @@ SELECT doc_id,
   round(upper_ratio, 6) AS q_upper_ratio,
   round(stop_ratio, 6) AS q_stopword_ratio,
   round(distinct_ratio, 6) AS q_distinct_ratio,
-  round(0.25 * least(stop_ratio * 3, 1.0)
-      + 0.25 * least(distinct_ratio * 1.25, 1.0)
-      + 0.25 * (1.0 - least(punct_ratio * 4, 1.0))
+  -- NaN guards mirror the Spark op: reward terms get 0 credit on NaN,
+  -- the punctuation penalty term gets full penalty on NaN
+  round(0.25 * least((CASE WHEN isnan(stop_ratio) THEN 0.0 ELSE stop_ratio END) * 3, 1.0)
+      + 0.25 * least((CASE WHEN isnan(distinct_ratio) THEN 0.0 ELSE distinct_ratio END) * 1.25, 1.0)
+      + 0.25 * (1.0 - least((CASE WHEN isnan(punct_ratio) THEN 1.0 ELSE punct_ratio END) * 4, 1.0))
       + 0.25 * (CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END), 6) AS q_score
 FROM m
 """
@@ -1655,14 +1660,16 @@ SELECT doc_id, round(avg(n_words), 6) AS n_words,
 FROM f GROUP BY doc_id
 """
 
+    # aggregates ignore NULL scores; a user whose every value is NULL keeps
+    # a row with NaN stats (mirrors confidence_stats' null-object contract)
     conf = """
 SELECT user_id,
-  round(max(value), 6) AS conf_max,
-  round(avg(value), 6) AS conf_mean,
-  round(stddev_pop(value), 6) AS conf_std,
-  round(min(value), 6) AS conf_min,
-  round(median(value)::DOUBLE, 6) AS conf_med
-FROM events WHERE value IS NOT NULL GROUP BY user_id
+  CASE WHEN count(value) = 0 THEN 'nan'::DOUBLE ELSE round(max(value), 6) END AS conf_max,
+  CASE WHEN count(value) = 0 THEN 'nan'::DOUBLE ELSE round(avg(value), 6) END AS conf_mean,
+  CASE WHEN count(value) = 0 THEN 'nan'::DOUBLE ELSE round(stddev_pop(value), 6) END AS conf_std,
+  CASE WHEN count(value) = 0 THEN 'nan'::DOUBLE ELSE round(min(value), 6) END AS conf_min,
+  CASE WHEN count(value) = 0 THEN 'nan'::DOUBLE ELSE round(median(value)::DOUBLE, 6) END AS conf_med
+FROM events GROUP BY user_id
 """
 
     multilevel = """

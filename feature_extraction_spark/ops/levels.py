@@ -38,14 +38,18 @@ def with_entity_keys(
     subject_expr: Column | None = None,
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Add derived hierarchy columns: subject_id, day, week."""
+    """Add derived hierarchy columns: subject_id, day, week. Columns the
+    caller already attached (e.g. site-local calendar days from a metadata
+    dimension) are NEVER overwritten — derivation fills gaps only."""
     if "subject_id" not in df.columns:
         if subject_expr is None:
             subject_expr = default_subject_expr()
         df = df.withColumn("subject_id", subject_expr)
-    return df.withColumn("day", F.to_date(ts_col)).withColumn(
-        "week", F.date_trunc("week", ts_col).cast("date")
-    )
+    if "day" not in df.columns:
+        df = df.withColumn("day", F.to_date(ts_col))
+    if "week" not in df.columns:
+        df = df.withColumn("week", F.date_trunc("week", ts_col).cast("date"))
+    return df
 
 
 def keys_for(level: str) -> list[str]:

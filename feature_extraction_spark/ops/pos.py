@@ -93,5 +93,9 @@ def pos_features(
         .withColumn("sc_ratio", nan_guard_div(c["PREP"], c["CC"]))
     )
     for k in POS_KEYS:
-        out = out.withColumn(k, c[k] / F.col("_num_words")).drop(f"_c_{k}")
+        # nan_guard, not bare division: an entity with zero words must get
+        # NaN proportions (the library's null object), never NULL
+        out = out.withColumn(
+            k, nan_guard_div(c[k], F.col("_num_words"))
+        ).drop(f"_c_{k}")
     return out.drop("_num_words")

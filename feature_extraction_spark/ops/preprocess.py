@@ -118,7 +118,10 @@ def df_vocab_filter(
     Scale shape: the vocab is a hash aggregation keyed by word (map-side
     combinable); callers prune token streams against it with a broadcast
     semi-join (vocabularies are small relative to corpora) — no second scan
-    of the text."""
+    of the text. The denominator count below is a deliberate extra job, but
+    a column-pruned one: it scans ONLY ``doc_col`` (empty documents must
+    count toward the denominator, so it cannot be derived from the token
+    stream, which drops them)."""
     n_docs = df.select(F.count_distinct(F.col(doc_col)).alias("n")).collect()[0]["n"]
     vocab = vocab_document_frequency(df, doc_col, text_col)
     return vocab.filter(

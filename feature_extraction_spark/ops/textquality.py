@@ -29,9 +29,12 @@ _STOPWORDS = {
 
 
 def _words(col: Column) -> Column:
-    """Whitespace words, empties removed (analysis tokenization — distinct
-    from the parity tokenizer in functions/text.py)."""
-    return F.filter(F.split(F.lower(col), r"\s+", -1), lambda w: F.length(w) > 0)
+    """Lowercased whitespace words, empties removed — the shared
+    ws_tokens_expr tokenizer (single definition; analysis ops can never
+    diverge from vocab/chunk token accounting) over lowered text."""
+    from feature_extraction_spark.functions.text import ws_tokens_expr
+
+    return ws_tokens_expr(F.lower(col))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -77,11 +80,21 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # composite: reward stopword presence and moderate word length; punish
     # punctuation/upper spam and heavy repetition. Clamped to [0,1].
+    # NaN ratios (empty / whitespace-only docs) must score ZERO credit:
+    # Spark's `least` treats NaN as GREATER than any number, so an
+    # unguarded least(NaN*3, 1.0) returns 1.0 — full credit for garbage.
+    def _nan0(x):  # reward terms: NaN -> no credit
+        return F.when(F.isnan(x), F.lit(0.0)).otherwise(x)
+
+    def _nan1(x):  # penalty terms: NaN -> full penalty
+        return F.when(F.isnan(x), F.lit(1.0)).otherwise(x)
+
     score = (
-        F.lit(0.25) * F.least(F.col("q_stopword_ratio") * 3, F.lit(1.0))
-        + F.lit(0.25) * F.least(F.col("q_distinct_ratio") * 1.25, F.lit(1.0))
+        F.lit(0.25) * F.least(_nan0(F.col("q_stopword_ratio")) * 3, F.lit(1.0))
         + F.lit(0.25)
-        * (F.lit(1.0) - F.least(F.col("q_punct_ratio") * 4, F.lit(1.0)))
+        * F.least(_nan0(F.col("q_distinct_ratio")) * 1.25, F.lit(1.0))
+        + F.lit(0.25)
+        * (F.lit(1.0) - F.least(_nan1(F.col("q_punct_ratio")) * 4, F.lit(1.0)))
         + F.lit(0.25)
         * F.when((F.col("q_mean_word_len") >= 3) & (F.col("q_mean_word_len") <= 10), 1.0)
         .otherwise(0.0)
@@ -133,7 +146,10 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 # oracle) engines match byte-for-byte.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    # \b anchors (RE2-compatible, unlike lookarounds — the DuckDB oracle
+    # runs the same pattern) stop partial redaction inside longer numeric
+    # strings: 'build 10.20.30.4056' and 'v1.2.3.4-beta' are NOT IPs
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     # the optional 4th segment requires its digits (a bare trailing
     # separator must not be swallowed into the redacted span)

@@ -20,10 +20,18 @@ def read_hypothesis_dirs(spark: SparkSession, glob: str) -> DataFrame:
         F.input_file_name().alias("path"), "value"
     )
     parts = F.split(F.col("path"), "/")
+
+    def _name(idx: int):
+        # input_file_name() yields a percent-encoded URI: decode so a dir
+        # named 'call 01' joins metadata as 'call 01', not 'call%2001'
+        # (try_url_decode: a literal '%' in a real name must not throw)
+        seg = F.element_at(parts, idx)
+        return F.coalesce(F.try_url_decode(seg), seg)
+
     toks = F.split(F.col("value"), " ", 2)
     return raw.filter(F.length(F.trim("value")) > 0).select(
-        F.element_at(parts, -2).alias("call_id"),
-        F.element_at(parts, -1).alias("hypothesis_id"),
+        _name(-2).alias("call_id"),
+        _name(-1).alias("hypothesis_id"),
         F.element_at(toks, 1).alias("seg_id"),
         F.coalesce(
             F.when(F.size(toks) >= 2, F.element_at(toks, 2)), F.lit("")

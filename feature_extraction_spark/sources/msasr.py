@@ -36,8 +36,18 @@ def read_recognizer_csv(
             df = df.withColumn(c, F.col(c).cast(t))
 
     if "word_timing" in df.columns:
-        # python-repr -> JSON: single to double quotes
-        js = F.regexp_replace(F.col("word_timing"), "'", '"')
+        # python-repr -> JSON. A blanket '->" replacement corrupts words
+        # containing apostrophes: repr double-quotes those values
+        # ({'Word': "don't"}), so the naive swap yields "don"t" — invalid
+        # JSON — and from_json silently NULLs the whole array. Convert only
+        # the DELIMITER singles: keys ('Word':) and single-quoted values,
+        # which by repr's own rule contain no apostrophes.
+        js = F.regexp_replace(
+            F.col("word_timing"),
+            r"'([A-Za-z_][A-Za-z_0-9]*)'(\s*:)",
+            '"$1"$2',
+        )
+        js = F.regexp_replace(js, r"(:\s*)'([^']*)'", '$1"$2"')
         df = df.withColumn(
             "word_timing", F.from_json(js, T.ArrayType(WORD_TIMING_ELEM))
         )

@@ -184,8 +184,15 @@ def synth_asr_segments(
     t = synth_transcripts(spark, n_convs=n_convs, seed=seed, **kwargs)
 
     words = F.filter(F.split(F.col("text"), " ", -1), lambda w: F.length(w) > 0)
-    # per-turn segment start offset (100 ns): derived from ts
-    seg_offset = (F.unix_micros("ts") % F.lit(10_000_000_000)) * 10
+    # per-turn segment start offset (100 ns) RELATIVE to the conversation's
+    # first turn — monotone within every conversation by construction. The
+    # previous absolute-ts modulus (unix_micros % 1e10) wrapped for any
+    # conversation spanning a 10,000 s boundary, breaking the
+    # monotonic-offset invariant the timing ops assume.
+    from pyspark.sql import Window as _W
+
+    conv_t0 = F.min(F.unix_micros("ts")).over(_W.partitionBy("conv_id"))
+    seg_offset = (F.unix_micros("ts") - conv_t0) * 10
 
     def h(salt, *extra):
         return F.pmod(

@@ -367,3 +367,34 @@ def test_with_simhash_preserves_input_columns(spark):
     out = with_simhash(docs)
     assert set(out.columns) == {"doc_id", "text", "lang", "simhash"}
     assert out.count() == 1
+
+
+def test_quality_score_nan_guards_and_ip_boundaries(spark):
+    """Regression (round-2 review): empty/whitespace docs must score ~0
+    (NaN ratios previously won full credit through least()); the IPv4
+    scrub must not fire inside longer numeric strings."""
+    import math
+
+    from feature_extraction_spark.ops.textquality import (
+        with_pii_scrub,
+        with_quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "the cat and the dog sat on the mat")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_quality_score(docs).collect()}
+    assert out[0]["q_score"] == 0.0
+    assert out[1]["q_score"] == 0.25  # only the zero-punctuation credit
+    assert out[2]["q_score"] > 0.7
+    assert math.isnan(out[0]["q_stopword_ratio"])
+
+    pii = spark.createDataFrame(
+        [(0, "build 10.20.30.4056 at v1.2.3.4-beta from 192.168.0.7 ok")],
+        "doc_id long, text string",
+    )
+    scrubbed = with_pii_scrub(pii).collect()[0]["text_scrubbed"]
+    assert "10.20.30.4056" in scrubbed  # not an IP: no partial redaction
+    assert "v1.2.3.4-beta" in scrubbed
+    assert "192.168.0.7" not in scrubbed and "<IP>" in scrubbed

@@ -64,3 +64,25 @@ def test_filter_groups_by_min_words(spark):
     out = filter_groups_by_min_words(df, min_words=10).toPandas()
     assert set(out["conv_id"]) == {"big"}
     assert len(out) == 2
+
+
+def test_synth_segment_offsets_monotone_per_conversation(spark):
+    """Regression (round-2 review): synthetic segment offsets must be
+    monotone within every conversation (the old absolute-ts modulus
+    wrapped across 10,000 s boundaries)."""
+    import pyspark.sql.functions as F
+
+    from feature_extraction_spark.synth import synth_asr_segments
+
+    segs = synth_asr_segments(spark, n_convs=500, seed=42)
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "conv_id"
+    ).orderBy("turn_idx")
+    # non-DECREASING: zero-gap turns legitimately share a timestamp (the
+    # synthetic 1% zero-gap path), but an offset must never go backward
+    bad = (
+        segs.withColumn("_prev", F.lag("offset").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("offset") < F.col("_prev")))
+        .count()
+    )
+    assert bad == 0

@@ -140,3 +140,19 @@ def test_cosine_neardup_lsh_recall(spark, embeddings):
     if exact:
         recall = len(exact & lsh) / len(exact)
         assert recall >= 0.8, (recall, len(exact), len(lsh))
+
+
+def test_with_entity_keys_preserves_caller_columns(spark):
+    """Regression (round-2 review): caller-attached day/week (e.g.
+    site-local calendar) must not be recomputed from ts."""
+    import datetime as dt
+
+    from feature_extraction_spark.ops.levels import with_entity_keys
+
+    df = spark.createDataFrame(
+        [("c1", dt.datetime(2024, 1, 1, 23, 30), dt.date(2024, 1, 2))],
+        "conv_id string, ts timestamp, day date",
+    )
+    out = with_entity_keys(df).collect()[0]
+    assert out["day"] == dt.date(2024, 1, 2)  # caller's local day kept
+    assert out["week"] is not None  # missing keys still derived

@@ -202,3 +202,45 @@ def test_size_conf_two_letter_suffixes(spark):
             assert _size_conf_bytes(spark, key, 0) == expected, raw
     finally:
         spark.conf.set(key, prev)
+
+
+def test_msasr_word_timing_with_apostrophes(spark, tmp_path):
+    """Regression (round-2 review): repr double-quotes values containing
+    apostrophes ({'Word': "don't"}); the repr->JSON conversion must not
+    corrupt them (the old blanket quote swap NULLed the whole array)."""
+    import csv
+    import os
+
+    p = str(tmp_path / "rec")
+    os.makedirs(p, exist_ok=True)
+    wt = ("[{'Word': \"don't\", 'Duration': 2000000, 'Offset': 100}, "
+          "{'Word': 'hello', 'Duration': 1000000, 'Offset': 2100100}]")
+    with open(os.path.join(p, "r.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["audio_file_id", "segment_number", "offset",
+                    "duration", "confidence", "display", "word_timing"])
+        w.writerow(["a1", 0, 0, 4000000, 0.9, "don't hello", wt])
+
+    from feature_extraction_spark.sources.msasr import read_recognizer_csv
+
+    row = read_recognizer_csv(spark, os.path.join(p, "r.csv")).collect()[0]
+    parsed = row["word_timing"]
+    assert parsed is not None, "apostrophe corrupted the JSON conversion"
+    assert [w["Word"] for w in parsed] == ["don't", "hello"]
+    assert [w["Duration"] for w in parsed] == [2000000, 1000000]
+
+
+def test_hypothesis_dir_names_with_spaces(spark, tmp_path):
+    """Regression (round-2 review): input_file_name() is percent-encoded;
+    call/hypothesis ids must be decoded back to the real names."""
+    import os
+
+    d = tmp_path / "hyps" / "call 01"
+    os.makedirs(d, exist_ok=True)
+    (d / "hyp a.txt").write_text("seg_0_100 hello there\n")
+
+    from feature_extraction_spark.sources.hypotheses import read_hypothesis_dirs
+
+    row = read_hypothesis_dirs(spark, str(tmp_path / "hyps" / "*" / "*")).collect()[0]
+    assert row["call_id"] == "call 01"
+    assert row["hypothesis_id"] == "hyp a.txt"

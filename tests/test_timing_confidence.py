@@ -128,3 +128,23 @@ def test_timing_null_word_timing(spark, segments):
     assert row["word_count"] == 0.0 and row["sil_count"] == 0.0
     assert np.isnan(row["words_mean"]) and np.isnan(row["silences_mean"])
     assert row["wps_mean"] == 0.0  # NULL word list ≡ empty list -> wps 0
+
+
+def test_confidence_all_null_entity_keeps_nan_row(spark):
+    """Regression (round-2 review): an entity whose every score is NULL
+    must yield a NaN row, not disappear (the 'NaN, never NULL' contract)."""
+    import math
+
+    from feature_extraction_spark.ops.confidence import confidence_stats
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.7), ("b", None), ("b", None)],
+        "conv_id string, confidence double",
+    )
+    out = {r["conv_id"]: r for r in confidence_stats(df, level="conv").collect()}
+    assert set(out) == {"a", "b"}
+    assert abs(out["a"]["conf_mean"] - 0.6) < 1e-12
+    assert all(
+        math.isnan(out["b"][c])
+        for c in ("conf_max", "conf_mean", "conf_std", "conf_min", "conf_med")
+    )
