@@ -175,8 +175,23 @@ The reference publishes no numbers (BASELINE.md); its envelope is
 single-core pandas with O(n^2) kernels. This engine's single-node
 throughput above is the baseline-to-beat for future rounds.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-appended evidence sections (spark-submit run, round
+    # notes): everything from the first non-generated "## " header onward
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    generated_heads = (
+        "## Two-parallelism scaling",
+        "## Reference comparison",
+    )
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        for chunk in old.split("\n## ")[1:]:
+            head = "## " + chunk
+            if not head.startswith(generated_heads):
+                tail += "\n## " + chunk
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(json.dumps(result))
 
 
