@@ -502,14 +502,19 @@ def q_multilevel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN probe (rows-only: seeded-sample + Lloyd training is not
-    SQL-expressible; recall vs exact covered in tests/test_multilevel_ivf)."""
+    """IVF ANN probe, value-verified: the driver runs the FULL-PROBE config
+    (nprobe = n_centroids), whose candidate set is the whole table by
+    construction, so the output is exactly the brute-force cosine top-k and
+    shares its DuckDB oracle regardless of how the seeded Lloyd quantizer
+    clustered. The pruned-nprobe path (the actual scale story — scan
+    nprobe/n_centroids of the data) keeps its recall-vs-exact coverage in
+    tests/test_multilevel_ivf.py."""
     from feature_extraction_spark.ops.similarity import ivf_topk, ivf_train
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = ivf_train(emb, n_centroids=8, iters=1, seed=42)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = ivf_topk(emb, [float(x) for x in qvec], cents, k=10, nprobe=3)
+    out = ivf_topk(emb, [float(x) for x in qvec], cents, k=10, nprobe=8)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -618,9 +623,12 @@ def q_hypothesis_mean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing (rows-only: Arrow-batched
-    mapInPandas decode over a deterministic synthetic media table; codecs
-    are stubbed — see ops/multimodal.py)."""
+    """Multimodal binary-column plumbing: Arrow-batched mapInPandas decode
+    over a deterministic synthetic media table (codecs stubbed — see
+    ops/multimodal.py). Value-verified: the stub kernel's per-lane
+    polynomial hash over the sha256-hex payload bytes is re-derived from
+    first principles in the DuckDB oracle; lanes are emitted as exact
+    integers (feat_j * 100003, recoverable from float32 since acc < 2**17)."""
     from feature_extraction_spark.ops.multimodal import (
         extract_image_features,
         synth_media,
@@ -628,11 +636,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(spark, n=300, seed=42)
     out = extract_image_features(media, dim=8)
-    return out.select(
-        "media_id",
-        "n_bytes",
-        F.round(F.element_at("feat", 1).cast("double"), 6).alias("feat_0"),
-    )
+    lanes = [
+        F.round(F.element_at("feat", j + 1).cast("double") * 100_003)
+        .cast("bigint")
+        .alias(f"lane_{j}")
+        for j in range(4)
+    ]
+    return out.select("media_id", "n_bytes", *lanes)
 
 
 def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,6 +1177,35 @@ SELECT source,
   round(CASE WHEN wc > 0 THEN n_n / wc ELSE 'nan'::DOUBLE END, 6)
     AS num_nodes_naive_norm
 FROM j
+"""
+
+
+def _multimodal_sql(n: int = 300, seed: int = 42, n_lanes: int = 4) -> str:
+    """First-principles re-derivation of the multimodal stub kernel
+    (ops/multimodal.py): payload bytes are the ASCII codes of the 64-char
+    sha256 hex digest of ``str(seed)||media_id``; the kernel folds byte i
+    into lane i % 8 as ``acc = (acc*31 + b) % 100003``. With 8 bytes per
+    lane the running-mod equals one polynomial mod (values < 3e12 << 2^63),
+    so each lane is a closed-form weighted sum of 8 ascii codes."""
+    pows = [31**t for t in range(7, -1, -1)]  # 31^7 .. 31^0
+
+    def lane(j: int) -> str:
+        terms = " + ".join(
+            f"ascii(substr(h, {j + 1 + 8 * t}, 1))::BIGINT * {pows[t]}"
+            for t in range(8)
+        )
+        return f"(({terms}) % 100003) AS lane_{j}"
+
+    lanes = ",\n  ".join(lane(j) for j in range(n_lanes))
+    return f"""
+WITH m AS (
+  SELECT media_id, sha256('{seed}' || media_id::VARCHAR) AS h
+  FROM range({n}) t(media_id)
+  WHERE media_id % 3 = 0
+)
+SELECT media_id, 64::BIGINT AS n_bytes,
+  {lanes}
+FROM m
 """
 
 
@@ -1864,7 +1903,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         "truecase_docs": truecase,
         "pii_scrub_docs": pii_scrub,
         "decontaminate_docs": decontaminate,
-        # ivf_topk / multimodal_features stay rows-only: the seeded-sample
-        # Lloyd quantizer and the stubbed media codecs are not
-        # SQL-expressible in DuckDB.
+        # ivf_topk runs full-probe in the driver (candidates = whole table),
+        # so its output is the exact brute-force top-k — same oracle as
+        # cosine_topk. Pruned-nprobe recall stays pytest-covered.
+        "ivf_topk": cosine_topk,
+        "multimodal_features": _multimodal_sql(),
     }

@@ -49,12 +49,17 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded pseudo-random bytes."""
+    """Deterministic fake media table: payload = seeded pseudo-random bytes.
+
+    Every column is expressible in portable ANSI SQL (modulo kind mapping,
+    sha256-hex payload) so downstream feature extraction over this table can
+    be value-verified against a DuckDB oracle; only ``meta.duration_ms``
+    keeps a Spark-specific hash (never consumed by the image kernel)."""
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256)
         .cast("binary")
