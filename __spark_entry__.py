@@ -415,6 +415,27 @@ def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_COLS = [
+    "mean_word_len", "symbol_word_ratio", "alpha_word_frac",
+    "dup_line_frac", "dup_line_char_frac",
+    "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_7gram_char_frac", "dup_10gram_char_frac",
+]
+
+
+def q_gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality rules (Rae et al. 2021 Appendix A) over
+    documents; the DuckDB oracle re-derives every statistic AND the
+    published-threshold keep decision from first principles (SQL generated
+    from the same GOPHER_THRESHOLDS constants — see _gopher_sql)."""
+    from feature_extraction_spark.ops.gopher import with_gopher_quality
+
+    out = with_gopher_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "gq_n_words", "stopword_hits", *GOPHER_COLS, "gopher_keep"
+    )
+    return _r6(out, GOPHER_COLS)
+
+
 def q_daily_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 level parameterization (day) over events: entity keys derived via
     levels.with_entity_keys, one hash aggregation per (subject, day)."""
@@ -903,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_docs": q_pos_docs,
         "liwc_docs": q_liwc_docs,
         "quality_docs": q_quality_docs,
+        "gopher_docs": q_gopher_docs,
         "daily_stats_events": q_daily_stats_events,
         "asof_purchase_tolerance": q_asof_purchase_tolerance,
         "graph_docs": q_graph_docs,
@@ -1206,6 +1228,157 @@ WITH m AS (
 SELECT media_id, 64::BIGINT AS n_bytes,
   {lanes}
 FROM m
+"""
+
+
+def _gopher_sql() -> str:
+    """First-principles DuckDB re-derivation of ops/gopher.py (statistics
+    AND the keep decision), generated from the module's own threshold /
+    stopword constants so the two sides cannot drift."""
+    from feature_extraction_spark.ops.gopher import (
+        GOPHER_THRESHOLDS as T,
+        REQUIRED_STOPWORDS,
+    )
+
+    req = ", ".join(f"'{w}'" for w in REQUIRED_STOPWORDS)
+    strip = r"regexp_replace(s, '^\s+|\s+$', '', 'g')"
+    top_frac = {2: "top_2gram_char_frac", 3: "top_3gram_char_frac", 4: "top_4gram_char_frac"}
+    dup_frac = {n: f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)}
+
+    per_n_cols = ",\n  ".join(
+        [
+            f"max(CASE WHEN n = {n} THEN top.c * top.g END) AS _top{n}"
+            for n in top_frac
+        ]
+        + [
+            f"max(CASE WHEN n = {n} THEN dupchars END) AS _dup{n}"
+            for n in dup_frac
+        ]
+    )
+
+    def frac(num: str) -> str:
+        raw = f"CASE WHEN tot > 0 THEN coalesce({num}, 0) / tot::DOUBLE ELSE 'nan'::DOUBLE END"
+        return f"CASE WHEN isnan({raw}) THEN {raw} ELSE least(1.0, {raw}) END"
+
+    gram_feats = ",\n  ".join(
+        [f"{frac(f'_top{n}')} AS {c}" for n, c in top_frac.items()]
+        + [f"{frac(f'_dup{n}')} AS {c}" for n, c in dup_frac.items()]
+    )
+
+    # one static branch per n (correlated lateral unnest trips DuckDB's
+    # binder; the SQL is generated anyway, so unroll)
+    gram_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest(list_transform("
+        f"range(len(words) - {n - 1}), "
+        f"i -> array_to_string(words[i + 1:i + {n}], ' '))) AS gram FROM d"
+        for n in range(2, 11)
+    )
+
+    hi_rules = " OR ".join(
+        f"isnan({c}) OR {c} > {T[c]}"
+        for c in [
+            "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+            "dup_para_char_frac", *top_frac.values(), *dup_frac.values(),
+        ]
+    )
+    keep = f"""NOT ({hi_rules}
+    OR gq_n_words < {T['min_words']} OR gq_n_words > {T['max_words']}
+    OR isnan(mean_word_len) OR mean_word_len < {T['min_mean_word_len']}
+    OR mean_word_len > {T['max_mean_word_len']}
+    OR isnan(symbol_word_ratio) OR symbol_word_ratio > {T['max_symbol_word_ratio']}
+    OR isnan(bullet_line_frac) OR bullet_line_frac > {T['max_bullet_line_frac']}
+    OR isnan(ellipsis_line_frac) OR ellipsis_line_frac > {T['max_ellipsis_line_frac']}
+    OR isnan(alpha_word_frac) OR alpha_word_frac < {T['min_alpha_word_frac']}
+    OR stopword_hits < {T['min_stopword_hits']})"""
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS words
+  FROM documents
+), segs AS (
+  SELECT doc_id,
+    list_filter(list_transform(str_split_regex(text, '\\n'),
+                               s -> {strip}), x -> x <> '') AS lines,
+    list_filter(list_transform(str_split_regex(text, '\\n{{2,}}'),
+                               s -> {strip}), x -> x <> '') AS paras,
+    text, words
+  FROM d
+), doc_stats AS (
+  SELECT doc_id,
+    len(words) AS gq_n_words,
+    coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS tot,
+    CASE WHEN len(words) > 0
+      THEN coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+           / len(words)::DOUBLE ELSE 'nan'::DOUBLE END AS mean_word_len,
+    CASE WHEN len(lines) > 0 THEN
+      (len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE
+      ELSE 'nan'::DOUBLE END AS dup_line_frac,
+    CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0 THEN
+      (list_sum(list_transform(lines, x -> length(x)))
+       - list_sum(list_transform(list_distinct(lines), x -> length(x))))
+      / list_sum(list_transform(lines, x -> length(x)))::DOUBLE
+      ELSE 'nan'::DOUBLE END AS dup_line_char_frac,
+    CASE WHEN len(paras) > 0 THEN
+      (len(paras) - len(list_distinct(paras))) / len(paras)::DOUBLE
+      ELSE 'nan'::DOUBLE END AS dup_para_frac,
+    CASE WHEN coalesce(list_sum(list_transform(paras, x -> length(x))), 0) > 0 THEN
+      (list_sum(list_transform(paras, x -> length(x)))
+       - list_sum(list_transform(list_distinct(paras), x -> length(x))))
+      / list_sum(list_transform(paras, x -> length(x)))::DOUBLE
+      ELSE 'nan'::DOUBLE END AS dup_para_char_frac,
+    CASE WHEN len(words) > 0 THEN
+      ((length(text) - length(replace(text, '#', '')))
+       + len(regexp_extract_all(text, '\\.\\.\\.'))
+       + (length(text) - length(replace(text, '…', ''))))
+      / len(words)::DOUBLE ELSE 'nan'::DOUBLE END AS symbol_word_ratio,
+    CASE WHEN len(lines) > 0 THEN
+      len(list_filter(lines, s -> s LIKE '•%' OR s LIKE '‣%' OR s LIKE '◦%'
+                      OR s LIKE '⁃%' OR s LIKE '-%' OR s LIKE '*%'))
+      / len(lines)::DOUBLE ELSE 'nan'::DOUBLE END AS bullet_line_frac,
+    CASE WHEN len(lines) > 0 THEN
+      len(list_filter(lines, s -> s LIKE '%...' OR s LIKE '%…'))
+      / len(lines)::DOUBLE ELSE 'nan'::DOUBLE END AS ellipsis_line_frac,
+    CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+      / len(words)::DOUBLE ELSE 'nan'::DOUBLE END AS alpha_word_frac,
+    len(list_intersect(list_distinct(words), [{req}])) AS stopword_hits
+  FROM segs
+), g AS (
+  {gram_union}
+), cnt AS (
+  SELECT doc_id, n, gram, count(*) AS cnt,
+         length(gram) - (n - 1) AS glen
+  FROM g GROUP BY doc_id, n, gram
+), per_n AS (
+  SELECT doc_id, n,
+    max(struct_pack(c := cnt, g := glen)) AS top,
+    sum(cnt * glen) FILTER (WHERE cnt > 1) AS dupchars
+  FROM cnt GROUP BY doc_id, n
+), piv AS (
+  SELECT doc_id,
+  {per_n_cols}
+  FROM per_n GROUP BY doc_id
+), feats AS (
+  SELECT s.*, {gram_feats}
+  FROM doc_stats s LEFT JOIN piv USING (doc_id)
+)
+SELECT doc_id, gq_n_words::BIGINT AS gq_n_words,
+  stopword_hits::BIGINT AS stopword_hits,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+  round(alpha_word_frac, 6) AS alpha_word_frac,
+  round(dup_line_frac, 6) AS dup_line_frac,
+  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+  round(top_2gram_char_frac, 6) AS top_2gram_char_frac,
+  round(top_3gram_char_frac, 6) AS top_3gram_char_frac,
+  round(top_4gram_char_frac, 6) AS top_4gram_char_frac,
+  round(dup_5gram_char_frac, 6) AS dup_5gram_char_frac,
+  round(dup_7gram_char_frac, 6) AS dup_7gram_char_frac,
+  round(dup_10gram_char_frac, 6) AS dup_10gram_char_frac,
+  {keep} AS gopher_keep
+FROM feats
 """
 
 
@@ -1878,6 +2051,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         "pos_docs": pos_docs,
         "liwc_docs": _liwc_docs_sql(),
         "quality_docs": quality,
+        "gopher_docs": _gopher_sql(),
         "daily_stats_events": daily_stats,
         "asof_purchase_tolerance": asof_tolerance,
         "multilevel_events": multilevel,

@@ -166,3 +166,74 @@ def timing_stats(times: dict[str, list[float]], total_duration: float) -> dict[s
         out["segs_per_min"] = NAN
         out["short_utts_per_min"] = NAN
     return out
+
+
+# ------------------------------------------------------------ Gopher rules
+
+
+def gopher_stats(text: str | None) -> dict[str, float]:
+    """Pure-python mirror of ops/gopher.py:with_repetition_features — the
+    pinned Gopher repetition/quality semantics (see that module's docstring
+    for the exact definitions; Rae et al. 2021 Appendix A)."""
+    from collections import Counter
+
+    text = text or ""
+    words = [w for w in re.split(r"\s+", text.lower()) if w]
+    n_words = len(words)
+    tot = sum(len(w) for w in words)
+    out: dict[str, float] = {
+        "gq_n_words": float(n_words),
+        "gq_total_chars": float(tot),
+        "mean_word_len": tot / n_words if n_words else NAN,
+    }
+
+    def seg_stats(pattern: str, prefix: str) -> None:
+        segs = [s.strip() for s in re.split(pattern, text)]
+        segs = [s for s in segs if s]
+        n, nd = len(segs), len(dict.fromkeys(segs))
+        ch = sum(len(s) for s in segs)
+        chd = sum(len(s) for s in dict.fromkeys(segs))
+        out[f"dup_{prefix}_frac"] = (n - nd) / n if n else NAN
+        out[f"dup_{prefix}_char_frac"] = (ch - chd) / ch if ch else NAN
+
+    seg_stats(r"\n", "line")
+    seg_stats(r"\n{2,}", "para")
+
+    lines = [s.strip() for s in re.split(r"\n", text)]
+    lines = [s for s in lines if s]
+    n_lines = len(lines)
+    bullets = ("•", "‣", "◦", "⁃", "-", "*")
+    bullet = sum(1 for s in lines if s.startswith(bullets))
+    ellipsis = sum(1 for s in lines if s.endswith("...") or s.endswith("…"))
+    out["bullet_line_frac"] = bullet / n_lines if n_lines else NAN
+    out["ellipsis_line_frac"] = ellipsis / n_lines if n_lines else NAN
+
+    symbols = text.count("#") + len(re.findall(r"\.\.\.", text)) + text.count("…")
+    out["symbol_word_ratio"] = symbols / n_words if n_words else NAN
+    alpha = sum(1 for w in words if re.search(r"[a-z]", w))
+    out["alpha_word_frac"] = alpha / n_words if n_words else NAN
+    req = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    out["stopword_hits"] = float(len(req & set(words)))
+
+    def cap1(x: float) -> float:
+        return x if x != x else min(1.0, x)  # NaN passes through
+
+    for n in range(2, 11):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        if n in (2, 3, 4):
+            if grams:
+                cnt, glen = max(
+                    (c, len(g) - (n - 1)) for g, c in grams.items()
+                )
+                top = cnt * glen
+            else:
+                top = 0
+            out[f"top_{n}gram_char_frac"] = cap1(top / tot if tot else NAN)
+        else:
+            dup = sum(
+                c * (len(g) - (n - 1)) for g, c in grams.items() if c > 1
+            )
+            out[f"dup_{n}gram_char_frac"] = cap1(dup / tot if tot else NAN)
+    return out
