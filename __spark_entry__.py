@@ -436,6 +436,43 @@ def q_gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, GOPHER_COLS)
 
 
+BM25_QUERY = "hash join vector scan"
+
+
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene idf form) over documents; ranked by
+    the 6-digit-rounded score (tie_digits — exact-score order is
+    ulp-unstable across engines) then doc_id, mirrored in the oracle."""
+    from feature_extraction_spark.ops.ranking import bm25_topk
+
+    out = bm25_topk(_docs(spark, sf_dir), BM25_QUERY, k=20, tie_digits=6)
+    return _r6(out, ["bm25"])
+
+
+def q_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the documents token stream. The
+    driver config sets capacity far above the corpus vocabulary, where the
+    MG guarantee degenerates to EXACT counts (max_undercount 0) — verified
+    cell-for-cell against DuckDB's exact top-k; the bounded-capacity
+    approximation guarantee is pytest-covered (tests/test_sketches.py)."""
+    from feature_extraction_spark.ops.sketches import heavy_hitter_terms
+
+    return heavy_hitter_terms(_docs(spark, sf_dir), k=25, capacity=500_000)
+
+
+def q_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe z-score normalization of event values per event_type
+    (fit -> broadcast stats -> guarded transform). _r4: mean/stddev are
+    summation-order-dependent at the ulp, so 6-decimal rounding is
+    hash-unstable (CORRECTNESS_r01 lesson)."""
+    from feature_extraction_spark.ops.normalize import normalize_features
+
+    out = normalize_features(
+        _events(spark, sf_dir), ["value"], ["event_type"]
+    ).select("event_id", "event_type", "value_norm")
+    return _r4(out, ["value_norm"])
+
+
 def q_daily_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 level parameterization (day) over events: entity keys derived via
     levels.with_entity_keys, one hash aggregation per (subject, day)."""
@@ -925,6 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "liwc_docs": q_liwc_docs,
         "quality_docs": q_quality_docs,
         "gopher_docs": q_gopher_docs,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "heavy_hitters_docs": q_heavy_hitters_docs,
+        "zscore_events": q_zscore_events,
         "daily_stats_events": q_daily_stats_events,
         "asof_purchase_tolerance": q_asof_purchase_tolerance,
         "graph_docs": q_graph_docs,
@@ -1379,6 +1419,48 @@ SELECT doc_id, gq_n_words::BIGINT AS gq_n_words,
   round(dup_10gram_char_frac, 6) AS dup_10gram_char_frac,
   {keep} AS gopher_keep
 FROM feats
+"""
+
+
+def _bm25_sql(query: str, k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB re-derivation of ops/ranking.py:bm25_topk, generated from the
+    same query string/constants. Ranking key = round(bm25, 6), doc_id."""
+    terms: list[str] = []
+    for w in query.lower().split():
+        if w and w not in terms:
+            terms.append(w)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS dl, w FROM d
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+), hits AS (
+  SELECT doc_id, dl,
+         unnest(list_filter(w, x -> list_contains([{tlist}], x))) AS term
+  FROM base
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM hits GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM dfreq, stats
+), scored AS (
+  SELECT doc_id,
+    sum(idf * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)))
+      AS bm25
+  FROM tf JOIN idf USING (term) GROUP BY doc_id
+)
+SELECT doc_id, round(bm25, 6) AS bm25
+FROM scored
+ORDER BY round(bm25, 6) DESC, doc_id
+LIMIT {k}
 """
 
 
@@ -2052,6 +2134,29 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         "liwc_docs": _liwc_docs_sql(),
         "quality_docs": quality,
         "gopher_docs": _gopher_sql(),
+        "bm25_topk_docs": _bm25_sql(BM25_QUERY),
+        "zscore_events": """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+  round(CASE WHEN sd IS NOT NULL AND sd <> 0 THEN (e.value - mu) / sd
+        ELSE 'nan'::DOUBLE END, 4) AS value_norm
+FROM events e JOIN stats USING (event_type)
+""",
+        # capacity >> vocabulary -> MG is exact (max_undercount 0)
+        "heavy_hitters_docs": """
+WITH toks AS (
+  SELECT unnest(list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS est_count, 0::BIGINT AS max_undercount
+FROM toks GROUP BY term
+ORDER BY est_count DESC, term
+LIMIT 25
+""",
         "daily_stats_events": daily_stats,
         "asof_purchase_tolerance": asof_tolerance,
         "multilevel_events": multilevel,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from feature_extraction_spark.functions.text import ws_tokens_expr
 from feature_extraction_spark.ops.levels import keys_for
@@ -146,3 +147,105 @@ def merge_vocab_sketches(
         "distinct_estimate", F.hll_sketch_estimate("_u")
     ).drop("_u")
     return out.drop("_g") if not group_cols else out
+
+
+# ------------------------------------------------- Misra-Gries heavy hitters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str = "term",
+    k: int = 20,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Approximate top-k frequent items via MERGEABLE Misra-Gries summaries
+    (Agarwal et al., "Mergeable Summaries", PODS'12).
+
+    Each input partition maintains a bounded counter table (streaming MG:
+    counters are reduced back to ``capacity`` entries whenever they exceed
+    8x capacity, accumulating the decrement). Partition summaries then merge
+    with ONE hash aggregation — summing per-item estimates is exactly the
+    MG merge, so the classic guarantee survives distribution:
+
+        true_count - max_undercount <= est_count <= true_count
+
+    where ``max_undercount`` = sum of all partitions' decrements (emitted on
+    every row; it is <= n_items / (capacity + 1)). With ``capacity`` >= the
+    per-partition distinct count no decrement ever happens and the result
+    is EXACT — which is how the driver query is verified against DuckDB.
+
+    Output: top ``k`` rows (item-col, est_count, max_undercount), ordered
+    by est_count desc, item asc. Python appears only as an Arrow-batched
+    mapInPandas kernel holding O(capacity) state per partition; the merge
+    is a JVM hash aggregation over <= capacity * n_partitions rows."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType(), True),
+            T.StructField("est", T.LongType(), False),
+            T.StructField("dec", T.LongType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        counts: dict[str, int] = {}
+        dec = 0
+
+        def reduce_to(cap: int) -> None:
+            nonlocal dec
+            if len(counts) <= cap:
+                return
+            d = sorted(counts.values(), reverse=True)[cap]
+            dec += d
+            for key in [x for x, c in counts.items() if c <= d]:
+                del counts[key]
+            for key in counts:
+                counts[key] -= d
+
+        for pdf in batches:
+            for v, c in pdf.iloc[:, 0].dropna().value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > 8 * capacity:
+                reduce_to(capacity)
+        reduce_to(capacity)
+        yield pd.DataFrame(
+            {
+                "item": list(counts) + [None],
+                "est": list(counts.values()) + [0],
+                "dec": [0] * len(counts) + [dec],
+            }
+        )
+
+    summaries = df.select(F.col(col).cast("string")).mapInPandas(
+        kernel, schema=out_schema
+    )
+    merged = summaries.groupBy("item").agg(F.sum("est").alias("est_count"))
+    err = summaries.agg(F.sum("dec").alias("max_undercount"))
+    return (
+        merged.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(err))
+        .select(
+            F.col("item").alias(col),
+            "est_count",
+            "max_undercount",
+        )
+        .orderBy(F.desc("est_count"), F.col(col))
+        .limit(k)
+    )
+
+
+def heavy_hitter_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Top-k most frequent words of a text corpus via ``heavy_hitters``
+    (lowered whitespace tokens — the shared tokenizer)."""
+    toks = df.select(
+        F.explode(ws_tokens_expr(F.lower(F.coalesce(F.col(text_col), F.lit(""))))).alias(
+            "term"
+        )
+    )
+    return heavy_hitters(toks, col="term", k=k, capacity=capacity)

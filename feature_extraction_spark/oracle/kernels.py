@@ -237,3 +237,42 @@ def gopher_stats(text: str | None) -> dict[str, float]:
             )
             out[f"dup_{n}gram_char_frac"] = cap1(dup / tot if tot else NAN)
     return out
+
+
+# ------------------------------------------------------------- BM25 / TFIDF
+
+
+def bm25_scores(
+    texts: dict[int, str], query: str, k1: float = 1.2, b: float = 0.75
+) -> dict[int, float]:
+    """Pure-python mirror of ops/ranking.py:bm25_topk (Lucene idf form).
+    Returns scores for every doc matching at least one query term."""
+    import math
+
+    qterms: list[str] = []
+    for w in re.split(r"\s+", query.lower()):
+        if w and w not in qterms:
+            qterms.append(w)
+    toks = {
+        i: [w for w in re.split(r"\s+", (t or "").lower()) if w]
+        for i, t in texts.items()
+    }
+    n = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n if n else float("nan")
+    dfreq = {
+        t: sum(1 for ws in toks.values() if t in ws) for t in qterms
+    }
+    out: dict[int, float] = {}
+    for i, ws in toks.items():
+        s = 0.0
+        hit = False
+        for t in qterms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if hit:
+            out[i] = s
+    return out
