@@ -117,6 +117,7 @@ def commit_snapshot(
     df: DataFrame,
     table: str,
     mode: str = "overwrite",
+    extra_meta: dict | None = None,
 ) -> SnapshotInfo:
     """Write ``df`` as the table's next snapshot and commit it.
 
@@ -125,10 +126,19 @@ def commit_snapshot(
     (data dirs are immutable, so append never rewrites existing data).
     The pointer swap is the commit point — readers either see the previous
     snapshot or the complete new one, never a partial write.
+
+    ``extra_meta`` adds caller keys to the manifest (e.g. the streaming
+    feature store records the micro-batch id for replay idempotency); keys
+    must not collide with the manifest's own.
     """
     if mode not in ("overwrite", "append"):
         # validate BEFORE the (possibly hours-long) data write
         raise ValueError(f"unknown snapshot mode: {mode}")
+    _RESERVED = {"version", "parent", "mode", "rows", "new_rows", "bytes",
+                 "files", "wall_s"}
+    if extra_meta and _RESERVED & extra_meta.keys():
+        raise ValueError(f"extra_meta collides with manifest keys: "
+                         f"{sorted(_RESERVED & extra_meta.keys())}")
     spark = df.sparkSession
     t0 = time.monotonic()
     parent = last_committed_version(spark, table)
@@ -162,6 +172,7 @@ def commit_snapshot(
         "bytes": sum(b for _, b in files),
         "files": [{"path": p, "bytes": b} for p, b in files],
         "wall_s": round(wall, 3),
+        **(extra_meta or {}),
     }
     _fs_write_text(spark, _manifest_path(table, version), json.dumps(manifest))
 

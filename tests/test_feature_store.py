@@ -1,0 +1,104 @@
+"""Streaming feature-store maintenance: incremental snapshot state ==
+batch recomputation, and batch-replay idempotency."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.ops.incremental import finalize_stat_state
+from feature_extraction_spark.sources.snapshots import (
+    last_committed_version,
+    read_manifest,
+    read_snapshot,
+)
+from feature_extraction_spark.streaming.feature_store import (
+    make_state_upserter,
+    stream_update_stat_states,
+)
+
+
+def _expected(pdf, value_col="value"):
+    g = pdf.groupby("conv_id")[value_col]
+    return {
+        cid: (s.count(), s.mean(), s.std(ddof=0), s.min(), s.max())
+        for cid, s in g
+    }
+
+
+def _turns_with_value(transcripts):
+    return transcripts.withColumn(
+        "value", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    )
+
+
+def test_stream_state_matches_batch_over_two_catchups(
+    spark, transcripts, tmp_path
+):
+    """Two availableNow catch-up runs over a growing parquet source: the
+    final state equals one batch aggregation over everything."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    t = _turns_with_value(transcripts)
+    first = t.filter(F.col("turn_idx") % 2 == 0)
+    second = t.filter(F.col("turn_idx") % 2 == 1)
+    first.write.mode("append").parquet(src)
+
+    def run_catchup():
+        stream = spark.readStream.schema(t.schema).parquet(src)
+        q = (
+            stream_update_stat_states(
+                stream, state, ckpt, value_col="value", level="conv"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_catchup()
+    v1 = last_committed_version(spark, state)
+    assert v1 is not None
+
+    second.write.mode("append").parquet(src)
+    run_catchup()
+    v2 = last_committed_version(spark, state)
+    assert v2 > v1
+
+    got = (
+        finalize_stat_state(read_snapshot(spark, state), "v")
+        .toPandas()
+        .set_index("conv_id")
+    )
+    exp = _expected(t.toPandas())
+    assert set(got.index) == set(exp)
+    for cid, (n, mu, sd, lo, hi) in exp.items():
+        row = got.loc[cid]
+        assert np.allclose(
+            [row["v_count"], row["v_mean"], row["v_std"], row["v_min"], row["v_max"]],
+            [n, mu, sd, lo, hi],
+        ), cid
+
+
+def test_upsert_replay_is_idempotent(spark, transcripts, tmp_path):
+    """Re-delivering the same batch_id (the crash window between snapshot
+    commit and stream checkpoint advance) must not double-count."""
+    state = str(tmp_path / "state2")
+    t = _turns_with_value(transcripts).limit(500)
+    up = make_state_upserter(state, "value", level="conv")
+    up(t, 0)
+    v_after = last_committed_version(spark, state)
+    before = (
+        read_snapshot(spark, state).orderBy("conv_id").toPandas()
+    )
+    up(t, 0)  # replay
+    assert last_committed_version(spark, state) == v_after
+    after = read_snapshot(spark, state).orderBy("conv_id").toPandas()
+    assert before.equals(after)
+    # a NEW batch does advance the state
+    up(t, 1)
+    assert last_committed_version(spark, state) == v_after + 1
+    m = read_manifest(spark, state, v_after + 1)
+    assert m["stream_batch_id"] == 1
+    doubled = (
+        finalize_stat_state(read_snapshot(spark, state), "v").toPandas()
+    )
+    assert np.allclose(doubled["v_count"].sum(), 2 * len(t.toPandas()))
