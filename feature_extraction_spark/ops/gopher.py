@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from feature_extraction_spark.functions.text import nan_guard_div, ws_tokens_expr
+from feature_extraction_spark.sources.io import ensure_parallelism
 
 TOP_NS = (2, 3, 4)
 DUP_NS = (5, 6, 7, 8, 9, 10)
@@ -115,25 +116,36 @@ def with_repetition_features(
     ids = list(id_cols)
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = ws_tokens_expr(F.lower(c))
-    base = df.withColumn("_words", words)
+    # every statistic below is an interpreted HOF over the token array —
+    # a single-split scan would serialize all of it onto one task
+    base = ensure_parallelism(df).withColumn("_words", words)
 
-    # ---- within-row segment stats (no shuffle)
-    def seg_feats(d: DataFrame, pattern: str, prefix: str) -> DataFrame:
-        segs = _segments(c, pattern)
+    # ---- within-row segment stats (no shuffle). The split->strip->filter
+    # segment arrays are materialized as columns so each is evaluated ONCE
+    # per row (CollapseProject keeps multiply-referenced non-cheap producer
+    # expressions in their own projection); deriving them inline would
+    # re-run the regex pipeline for every size/distinct/char-sum use.
+    base = base.withColumn("_lines", _segments(c, r"\n")).withColumn(
+        "_paras", _segments(c, r"\n{2,}")
+    )
+
+    def seg_feats(d: DataFrame, seg_col: str, prefix: str) -> DataFrame:
+        segs = F.col(seg_col)
+        dsegs = F.array_distinct(segs)
         n = F.size(segs)
-        nd = F.size(F.array_distinct(segs))
+        nd = F.size(dsegs)
         ch = _char_sum(segs)
-        chd = _char_sum(F.array_distinct(segs))
+        chd = _char_sum(dsegs)
         return d.withColumn(
             f"dup_{prefix}_frac", nan_guard_div((n - nd).cast("double"), n)
         ).withColumn(
             f"dup_{prefix}_char_frac", nan_guard_div((ch - chd).cast("double"), ch)
         )
 
-    base = seg_feats(base, r"\n", "line")
-    base = seg_feats(base, r"\n{2,}", "para")
+    base = seg_feats(base, "_lines", "line")
+    base = seg_feats(base, "_paras", "para")
 
-    lines = _segments(c, r"\n")
+    lines = F.col("_lines")
     n_lines = F.size(lines)
 
     def _starts_with_any(s: Column) -> Column:
@@ -195,25 +207,35 @@ def with_repetition_features(
     ex = base.select(*ids, F.explode(F.flatten(F.array(*per_n_arrays))).alias("t")).select(
         *ids, F.col("t.n").alias("n"), F.col("t.g").alias("g")
     )
+    # Shuffle 8-byte gram hashes, not gram strings: the (doc, n, gram) key
+    # only serves to count occurrences, so xxhash64(n, g) carries the gram
+    # identity and glen (word chars = len - joiner spaces, identical for a
+    # given gram) rides along — same keying trick as the dedup shingle
+    # index (ops/dedup.py). Cuts per-row shuffle bytes ~5x at corpus scale;
+    # a 64-bit collision would need ~2^32 distinct grams per (doc, n).
     glen = (F.length("g") - (F.col("n") - F.lit(1))).cast("long")
-    cnt = ex.groupBy(*ids, "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = (
+        ex.select(*ids, "n", F.xxhash64("n", "g").alias("gh"), glen.alias("glen"))
+        .groupBy(*ids, "n", "gh")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("glen").alias("glen"))
+    )
     # ONE per-doc aggregation for every n at once (conditional struct-max /
     # conditional sums) — two total exchanges for the n-gram path:
-    # by (doc, n, gram), then by doc.
+    # by (doc, n, gram-hash), then by doc.
     pivots = []
     for n in top_ns:
         pivots.append(
             F.max(
                 F.when(
                     F.col("n") == n,
-                    F.struct(F.col("cnt").alias("cnt"), glen.alias("glen")),
+                    F.struct(F.col("cnt").alias("cnt"), F.col("glen").alias("glen")),
                 )
             ).alias(f"_topst{n}")
         )
     for n in dup_ns:
         pivots.append(
             F.sum(
-                F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt") * glen)
+                F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt") * F.col("glen"))
             ).alias(f"_dup{n}")
         )
     piv = cnt.groupBy(*ids).agg(*pivots)
@@ -227,22 +249,29 @@ def with_repetition_features(
         # turning an empty doc into a maximally-repetitive one — keep NaN.
         return F.when(F.isnan(x), x).otherwise(F.least(F.lit(1.0), x))
 
+    # reuse the materialized gq_total_chars column — re-deriving `tot` here
+    # would re-evaluate the interpreted array aggregate once per fraction
+    tot_col = F.col("gq_total_chars")
     out = base.join(piv, on=ids, how="left")
     for n in top_ns:
         out = out.withColumn(
             f"top_{n}gram_char_frac",
             _cap1(
-                nan_guard_div(F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double"), tot)
+                nan_guard_div(
+                    F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double"), tot_col
+                )
             ),
         ).drop(f"_top{n}")
     for n in dup_ns:
         out = out.withColumn(
             f"dup_{n}gram_char_frac",
             _cap1(
-                nan_guard_div(F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double"), tot)
+                nan_guard_div(
+                    F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double"), tot_col
+                )
             ),
         ).drop(f"_dup{n}")
-    return out.drop("_words")
+    return out.drop("_words", "_lines", "_paras")
 
 
 def _fails(stat: Column, *, above: float | None = None, below: float | None = None) -> Column:
