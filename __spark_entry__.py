@@ -449,6 +449,71 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, ["bm25"])
 
 
+def q_lm_ppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2020):
+    train the add-k bigram model on the documents corpus and self-score
+    every doc. log_ppl is a per-doc mean of up-to-hundreds of ln() terms —
+    summation-order-sensitive at the ulp, so _r4 (CORRECTNESS_r01 lesson)."""
+    from feature_extraction_spark.ops.lm import train_bigram_lm, with_perplexity
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(docs, k=0.1)
+    out = with_perplexity(docs, lm).select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", -1),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("long").alias("n_tokens"),
+        "log_ppl",
+    )
+    return _r4(out, ["log_ppl"])
+
+
+def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling quantile features (p25/median/p75) over a trailing
+    10-row frame per user — the windowed-percentile feature family
+    percentile_approx can't express. Type-7 interpolation on both sides;
+    _r4 (lerp arithmetic can differ in the last ulp across engines)."""
+    from feature_extraction_spark.ops.windows import rolling_quantiles
+
+    out = rolling_quantiles(
+        _events(spark, sf_dir),
+        "value",
+        part_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        trailing_rows=10,
+        quantiles=(0.25, 0.5, 0.75),
+    ).select("event_id", "roll_value_q25_10", "roll_value_q50_10", "roll_value_q75_10")
+    return _r4(out, ["roll_value_q25_10", "roll_value_q50_10", "roll_value_q75_10"])
+
+
+def q_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span detection (ExactSubstr-style, Lee et
+    al. 2022) at l=8 tokens: maximal runs of 8-grams shared by >=2 docs.
+    All-integer output — no rounding needed."""
+    from feature_extraction_spark.ops.spans import duplicate_spans
+
+    out = duplicate_spans(_docs(spark, sf_dir), l=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+def q_despan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL keeping one canonical copy per 8-gram
+    corpus-wide; exact string compare of the rebuilt text."""
+    from feature_extraction_spark.ops.spans import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_docs(spark, sf_dir), l=8, min_docs=2)
+    return out.select("doc_id", F.col("text").alias("clean_text"), "n_removed_tokens")
+
+
 def q_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters over the documents token stream. The
     driver config sets capacity far above the corpus vocabulary, where the
@@ -963,6 +1028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": q_quality_docs,
         "gopher_docs": q_gopher_docs,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "lm_ppl_docs": q_lm_ppl_docs,
+        "rolling_median_events": q_rolling_median_events,
+        "dup_spans_docs": q_dup_spans_docs,
+        "despan_docs": q_despan_docs,
         "heavy_hitters_docs": q_heavy_hitters_docs,
         "zscore_events": q_zscore_events,
         "daily_stats_events": q_daily_stats_events,
@@ -2135,6 +2204,134 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         "quality_docs": quality,
         "gopher_docs": _gopher_sql(),
         "bm25_topk_docs": _bm25_sql(BM25_QUERY),
+        # exact trailing-window quantiles; windowed quantile_cont is the
+        # same type-7 interpolation as the engine's sorted-array lerp
+        "rolling_median_events": """
+SELECT event_id,
+  round(quantile_cont(value::DOUBLE, 0.25) OVER w, 4) AS roll_value_q25_10,
+  round(quantile_cont(value::DOUBLE, 0.50) OVER w, 4) AS roll_value_q50_10,
+  round(quantile_cont(value::DOUBLE, 0.75) OVER w, 4) AS roll_value_q75_10
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+        # ExactSubstr-style duplicate spans, l=8, min_docs=2. The oracle
+        # keys on the raw lowered 8-gram string (the engine shuffles its
+        # xxhash64 — identity-preserving modulo a ~2^-32 collision bound).
+        "dup_spans_docs": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(str_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, lower(array_to_string(w[i:i+7], ' ')) AS g
+  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+),
+dup AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM wins WHERE g IN (SELECT g FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+         THEN 1 ELSE 0 END AS new
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+    sum(new) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+  FROM isl
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end,
+  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens,
+  count(*)::BIGINT AS n_windows
+FROM sp GROUP BY doc_id, span
+""",
+        # duplicate-span removal: keeper = global min (doc, pos) per 8-gram
+        "despan_docs": """
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(str_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, lower(array_to_string(w[i:i+7], ' ')) AS g
+  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT g, min(row(doc_id, pos)) AS kp
+  FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w JOIN dup d ON w.g = d.g
+  WHERE NOT (w.doc_id = d.kp[1] AND w.pos = d.kp[2])
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tp FROM hits
+),
+covl AS (SELECT doc_id, list(tp) AS cl FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+  CASE WHEN t.text IS NULL THEN NULL ELSE
+    -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+    -- concat_ws gives '') — coalesce for fully-removed docs
+    coalesce(array_to_string(
+      list_transform(
+        list_filter(range(1, len(t.w) + 1),
+                    i -> c.cl IS NULL OR NOT list_contains(c.cl, i)),
+        i -> t.w[i]),
+      ' '), '')
+  END AS clean_text,
+  (CASE WHEN c.cl IS NULL THEN 0 ELSE len(c.cl) END)::BIGINT
+    AS n_removed_tokens
+FROM toks t LEFT JOIN covl c USING (doc_id)
+""",
+        # add-k bigram LM self-scoring (k=0.1); mirrors ops/lm.py exactly:
+        # p(w1)=(c1+k)/(T+kV), p(w2|w1)=(c12+k)/(c1+kV), log_ppl=-mean ln p
+        "lm_ppl_docs": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+),
+stats AS (SELECT sum(c) AS t_tokens, count(*) AS v_vocab FROM uni),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c
+  FROM (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        FROM toks WHERE len(w) >= 2)
+  GROUP BY 1, 2
+),
+stream AS (
+  SELECT doc_id, 1 AS is_first, w[1] AS w1, NULL AS w2
+  FROM toks WHERE len(w) >= 1
+  UNION ALL
+  SELECT doc_id, 0, p[1], p[2]
+  FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        FROM toks WHERE len(w) >= 2)
+),
+scored AS (
+  SELECT s.doc_id,
+    CASE WHEN s.is_first = 1
+      THEN ln((coalesce(u.c, 0) + 0.1) / (st.t_tokens + 0.1 * st.v_vocab))
+      ELSE ln((coalesce(b.c, 0) + 0.1) / (coalesce(u.c, 0) + 0.1 * st.v_vocab))
+    END AS lp
+  FROM stream s
+  LEFT JOIN uni u ON u.tok = s.w1
+  LEFT JOIN big b ON b.w1 = s.w1 AND b.w2 = s.w2
+  CROSS JOIN stats st
+),
+per AS (SELECT doc_id, sum(lp) AS lps FROM scored GROUP BY doc_id)
+SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+  round(CASE WHEN len(t.w) > 0 THEN -p.lps / len(t.w)
+        ELSE 'nan'::DOUBLE END, 4) AS log_ppl
+FROM toks t LEFT JOIN per p USING (doc_id)
+""",
         "zscore_events": """
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd

@@ -129,7 +129,8 @@ def main() -> None:
         "daily_stats_events", "asof_purchase_tolerance", "multilevel_events",
         "tpch_q3", "timing_stats_events", "session_stats_events",
         "dedup_clusters_docs", "chunk_docs", "hash_split_docs", "mixture_docs",
-        "gopher_docs", "bm25_topk_docs", "heavy_hitters_docs",
+        "gopher_docs", "bm25_topk_docs", "heavy_hitters_docs", "lm_ppl_docs",
+        "dup_spans_docs", "despan_docs", "rolling_median_events",
     ]
     for name in headline:
         mk = lambda name=name: queries[name](spark, SF_DIR)

@@ -1,0 +1,200 @@
+"""Distributed n-gram language-model training and perplexity scoring —
+the CCNet-style quality signal for pre-training corpora (Wenzek et al.
+2020, arXiv:1911.00359 train a 5-gram KenLM on a clean corpus and bucket
+web documents by perplexity; Gopher, LLaMA and the Pile pipelines do the
+same). KenLM is a native library; this is the Spark-native equivalent:
+an add-k-smoothed bigram model whose training and scoring are both pure
+DataFrame plans.
+
+Reference analog: none (the reference has no LM ops) — training-pipeline
+extension layer.
+
+Pinned semantics (mirrored in the DuckDB driver oracle and the pytest
+pure-python model):
+
+- tokens = whitespace words of lowercased text (shared ws_tokens_expr).
+- unigram counts c(w) over the training corpus; T = total tokens;
+  V = distinct training tokens (NO extra UNK slot: unseen words already
+  get mass from add-k).
+- p(w1)       = (c(w1) + k) / (T + k*V)          -- first token
+- p(w2 | w1)  = (c(w1,w2) + k) / (c(w1) + k*V)   -- every following token
+- log-perplexity of a doc with n tokens = -(1/n) * sum of ln p;
+  ppl = exp(log_ppl). n = 0 keeps its row with NaN (NULL-entity
+  convention) — degenerate docs must not vanish.
+
+Scale design (train on M tokens, score N docs, vocab V):
+
+- Training is TWO map-side-combinable hash aggregations: one over the
+  exploded unigram stream, one over the within-row-zipped bigram stream
+  (adjacency never needs a window or a self-join — ``zip_with`` pairs each
+  word array with its own tail, so the bigram stream is built row-locally
+  before the explode). Model "state" is two DataFrames + a 1-row stats
+  aggregate; nothing is collected to the driver.
+- Scoring explodes each doc once into (first-token ∪ bigram) rows tagged
+  with their join keys, left-joins the unigram table on w1 and the bigram
+  table on (w1, w2), then runs one per-doc aggregation. The unigram
+  (vocab) side is broadcastable for natural-language vocabularies; the
+  joins are left unhinted so AQE picks broadcast when the built model is
+  small and shuffle-hash when it is not.
+- Self-scoring (driver query) reuses the training exchanges via Spark's
+  exchange reuse; the model DataFrames can also be snapshot-committed
+  (sources/snapshots.py) and maintained incrementally (unigram/bigram
+  counts are trivially mergeable states).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.functions.text import nan, ws_tokens_expr
+
+
+@dataclass(frozen=True)
+class NgramLM:
+    """A trained bigram model: two count tables + the smoothing constant.
+
+    ``unigrams``: (term, c) · ``bigrams``: (w1, w2, c). ``stats()`` is a
+    1-row (t_tokens, v_vocab) aggregate derived lazily so the model stays
+    a pure plan until an action forces it."""
+
+    unigrams: DataFrame
+    bigrams: DataFrame
+    k: float
+
+    def stats(self) -> DataFrame:
+        return self.unigrams.agg(
+            F.sum("c").alias("t_tokens"),
+            F.count(F.lit(1)).alias("v_vocab"),
+        )
+
+
+def _doc_words(df: DataFrame, text_col: str) -> DataFrame:
+    words = ws_tokens_expr(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    return df.withColumn("_w", words)
+
+
+def _bigram_pairs(col: str = "_w"):
+    """(w1, w2) structs built row-locally: zip each word with its successor.
+    slice(arr, 2, n) is the tail; zip_with stops at the shorter array only
+    when lengths differ — they differ by one, so slice the head too."""
+    arr = F.col(col)
+    n = F.size(arr)
+    return F.zip_with(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", k: float = 0.1
+) -> NgramLM:
+    """Fit the add-k bigram model on ``df``'s text column. Two hash
+    aggregations, no window, no self-join, nothing on the driver."""
+    d = _doc_words(df, text_col)
+    uni = (
+        d.select(F.explode("_w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        d.select(F.explode(_bigram_pairs()).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return NgramLM(unigrams=uni, bigrams=big, k=float(k))
+
+
+def with_perplexity(
+    df: DataFrame,
+    lm: NgramLM,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    out_col: str = "ppl",
+) -> DataFrame:
+    """Append ``log_ppl`` and ``out_col`` (= exp(log_ppl)) per document.
+
+    Every input row keeps its output row; empty/NULL text scores NaN."""
+    ids = list(id_cols)
+    k = F.lit(lm.k)
+    d = _doc_words(df, text_col).withColumn("_n", F.size("_w"))
+
+    # tagged score stream: one 'first' row (is_first=1) + n-1 bigram rows.
+    # w1 is the conditioning context (the token itself for the first row).
+    first = F.when(
+        F.col("_n") >= 1,
+        F.array(
+            F.struct(
+                F.lit(1).alias("is_first"),
+                F.element_at("_w", 1).alias("w1"),
+                F.lit(None).cast("string").alias("w2"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<is_first:int,w1:string,w2:string>>"))
+    bigs = F.transform(
+        _bigram_pairs(),
+        lambda p: F.struct(
+            F.lit(0).alias("is_first"),
+            p["w1"].alias("w1"),
+            p["w2"].alias("w2"),
+        ),
+    )
+    stream = d.select(
+        *ids, F.explode(F.concat(first, bigs)).alias("s")
+    ).select(*ids, "s.is_first", "s.w1", "s.w2")
+
+    uni = lm.unigrams.select(
+        F.col("term").alias("w1"), F.col("c").alias("_c1")
+    )
+    big = lm.bigrams.select("w1", "w2", F.col("c").alias("_c12"))
+    stats = lm.stats()
+
+    scored = (
+        stream.join(uni, on="w1", how="left")
+        .join(big, on=["w1", "w2"], how="left")
+        .crossJoin(F.broadcast(stats))
+    )
+    c1 = F.coalesce(F.col("_c1"), F.lit(0)).cast("double")
+    c12 = F.coalesce(F.col("_c12"), F.lit(0)).cast("double")
+    kv = k * F.col("v_vocab")
+    lp = F.when(
+        F.col("is_first") == 1,
+        F.log((c1 + k) / (F.col("t_tokens") + kv)),
+    ).otherwise(F.log((c12 + k) / (c1 + kv)))
+    per_doc = (
+        scored.select(*ids, lp.alias("_lp"))
+        .groupBy(*ids)
+        .agg(F.sum("_lp").alias("_lp_sum"), F.count(F.lit(1)).alias("_terms"))
+    )
+    # left join keeps n=0 docs (they emit no stream rows)
+    out = (
+        d.select(*ids, "_n", *[c for c in df.columns if c not in ids])
+        .join(per_doc, on=ids, how="left")
+        .withColumn(
+            "log_ppl",
+            F.when(
+                F.col("_n") > 0, -F.col("_lp_sum") / F.col("_n")
+            ).otherwise(nan()),
+        )
+        .withColumn(out_col, F.exp("log_ppl"))
+    )
+    return out.drop("_w", "_n", "_lp_sum", "_terms")
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: NgramLM,
+    max_ppl: float,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """CCNet-style keep rule: input columns only, rows whose perplexity
+    under ``lm`` is <= ``max_ppl`` (NaN — empty docs — dropped)."""
+    cols = df.columns
+    scored = with_perplexity(df, lm, text_col=text_col, id_cols=id_cols)
+    keep = (~F.isnan("ppl")) & (F.col("ppl") <= F.lit(max_ppl))
+    return scored.filter(keep).select(*cols)

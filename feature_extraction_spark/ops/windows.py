@@ -139,3 +139,51 @@ def rolling_turn_features(
         .drop("_sec")
     )
     return out
+
+
+def rolling_quantiles(
+    df: DataFrame,
+    value_col: str,
+    part_cols: tuple[str, ...] = ("conv_id",),
+    order_cols: tuple[str, ...] = tuple(ORDER_COLS),
+    trailing_rows: int = 10,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT rolling quantiles over a trailing k-row frame (W8 extension):
+    per-row percentile features (rolling median, IQR bands) that
+    percentile_approx cannot provide as a window function.
+
+    Semantics (mirrored in the DuckDB oracle, which computes the same via
+    windowed ``quantile_cont``): the sample is the non-NULL values of
+    ``value_col`` in the trailing ``trailing_rows`` rows (current included,
+    leakage-free); quantile = type-7 linear interpolation at rank
+    ``(n-1)*q`` (numpy/DuckDB default); empty sample -> NaN. Output columns
+    ``roll_{value_col}_q{percent}_{k}``.
+
+    Scale: one exchange on ``part_cols``; per row the frame's values are
+    gathered (collect_list ignores NULLs) and sorted row-locally —
+    O(k log k) with k bounded and small (tens). For large/unbounded frames
+    use the mergeable sketches (ops/sketches.py) at coarser grain instead;
+    an exact sliding quantile at window size 10^4+ is the wrong tool at
+    100 TB and this function says so rather than pretending otherwise."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(trailing_rows - 1), 0)
+    )
+    v = F.col(value_col).cast("double")
+    out = df.withColumn("_s", F.array_sort(F.collect_list(v).over(w)))
+    n = F.size("_s")
+    for q in quantiles:
+        h = (n - F.lit(1)).cast("double") * F.lit(float(q))
+        lo = F.floor(h).cast("int")
+        lo_v = F.element_at("_s", lo + 1)
+        hi_v = F.element_at("_s", F.least(lo + 2, n))
+        name = f"roll_{value_col}_q{int(round(q * 100))}_{trailing_rows}"
+        out = out.withColumn(
+            name,
+            F.when(n == 0, F.lit(float("nan"))).otherwise(
+                lo_v + (h - lo) * (hi_v - lo_v)
+            ),
+        )
+    return out.drop("_s")

@@ -276,3 +276,38 @@ def bm25_scores(
         if hit:
             out[i] = s
     return out
+
+
+def bigram_perplexity(
+    train_texts: list[str | None],
+    score_texts: list[str | None],
+    k: float = 0.1,
+) -> list[float]:
+    """Pure-python mirror of ops/lm.py (add-k bigram model, self- or
+    held-out scoring). Returns log-perplexity per score doc (NaN for
+    empty/NULL docs)."""
+    import math
+    from collections import Counter
+
+    def ws(t: str | None) -> list[str]:
+        return [w for w in re.split(r"\s+", (t or "").lower()) if w]
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in train_texts:
+        toks = ws(t)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    vocab = len(uni)
+    out: list[float] = []
+    for t in score_texts:
+        toks = ws(t)
+        if not toks:
+            out.append(NAN)
+            continue
+        lp = math.log((uni[toks[0]] + k) / (total + k * vocab))
+        for w1, w2 in zip(toks, toks[1:]):
+            lp += math.log((big[(w1, w2)] + k) / (uni[w1] + k * vocab))
+        out.append(-lp / len(toks))
+    return out

@@ -1,0 +1,121 @@
+"""N-gram LM training + perplexity scoring: Spark vs pure-python oracle
+parity, empty-doc NaN semantics, filter behavior, and held-out scoring."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extraction_spark.oracle import kernels as ok
+from feature_extraction_spark.ops.lm import (
+    perplexity_filter,
+    train_bigram_lm,
+    with_perplexity,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the cat"),
+    (2, "a completely different sentence here"),
+    (3, None),
+    (4, ""),
+    (5, "   \n\t  "),
+    (6, "the the the the the"),
+    (7, "one"),
+    (8, "The CAT sat"),  # case folding: shares mass with docs 0/1
+    (9, "unseen tokens only zzz qqq"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def scored(corpus):
+    lm = train_bigram_lm(corpus, k=0.1)
+    return (
+        with_perplexity(corpus, lm)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+
+def test_lm_self_scoring_parity(scored):
+    texts = [t for _, t in DOCS]
+    exp = ok.bigram_perplexity(texts, texts, k=0.1)
+    for i, (doc_id, _) in enumerate(DOCS):
+        got = float(scored.loc[doc_id, "log_ppl"])
+        assert np.allclose(got, exp[i], equal_nan=True), (
+            f"doc {doc_id}: spark={got} oracle={exp[i]}"
+        )
+        ppl = float(scored.loc[doc_id, "ppl"])
+        want = math.exp(exp[i]) if exp[i] == exp[i] else float("nan")
+        assert np.allclose(ppl, want, equal_nan=True)
+
+
+def test_lm_rows_preserved_and_empty_nan(scored):
+    # every input row keeps its output row; degenerate docs score NaN
+    assert sorted(scored.index) == sorted(d for d, _ in DOCS)
+    for d in (3, 4, 5):
+        assert np.isnan(scored.loc[d, "log_ppl"])
+        assert np.isnan(scored.loc[d, "ppl"])
+
+
+def test_lm_repetitive_doc_scores_lower(scored):
+    # "the the the ..." self-trains high bigram mass -> lower ppl than the
+    # all-unseen doc
+    assert scored.loc[6, "ppl"] < scored.loc[9, "ppl"]
+
+
+def test_lm_held_out_scoring(spark, corpus):
+    """Model trained on one corpus scores a disjoint one; unseen-only docs
+    get finite (smoothed) perplexity."""
+    lm = train_bigram_lm(corpus, k=0.5)
+    test_docs = [(100, "the cat sat"), (101, "totally novel words"), (102, None)]
+    test_df = spark.createDataFrame(test_docs, "doc_id long, text string")
+    got = with_perplexity(test_df, lm)
+    pd_got = got.toPandas().set_index("doc_id").sort_index()
+    exp = ok.bigram_perplexity(
+        [t for _, t in DOCS], [t for _, t in test_docs], k=0.5
+    )
+    for i, (doc_id, _) in enumerate(test_docs):
+        assert np.allclose(
+            float(pd_got.loc[doc_id, "log_ppl"]), exp[i], equal_nan=True
+        ), f"doc {doc_id}"
+    # seen text must beat unseen text under the trained model
+    assert pd_got.loc[100, "ppl"] < pd_got.loc[101, "ppl"]
+
+
+def test_lm_stats(corpus):
+    lm = train_bigram_lm(corpus, k=0.1)
+    row = lm.stats().collect()[0]
+    texts = [t for _, t in DOCS]
+    toks = [w for t in texts for w in (t or "").lower().split() if w]
+    assert row.t_tokens == len(toks)
+    assert row.v_vocab == len(set(toks))
+
+
+def test_perplexity_filter_schema_and_semantics(corpus):
+    lm = train_bigram_lm(corpus, k=0.1)
+    scored = with_perplexity(corpus, lm).toPandas().set_index("doc_id")
+    finite = scored[~scored["ppl"].isna()]
+    cut = float(finite["ppl"].median())
+    kept = perplexity_filter(corpus, lm, max_ppl=cut)
+    assert kept.columns == corpus.columns
+    kept_ids = {r.doc_id for r in kept.collect()}
+    want = {int(d) for d, v in finite["ppl"].items() if v <= cut}
+    assert kept_ids == want
+    # NaN docs are always dropped
+    assert kept_ids.isdisjoint({3, 4, 5})
+
+
+def test_lm_no_python_udfs(corpus):
+    """Training and scoring must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes in the plan."""
+    lm = train_bigram_lm(corpus)
+    plan = with_perplexity(corpus, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
