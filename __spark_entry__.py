@@ -1650,7 +1650,8 @@ SELECT doc_id, md5({_NORM.format(c='text')}) AS fingerprint_md5 FROM documents
 """
 
     exact_dedup = f"""
-WITH h AS (SELECT doc_id, md5({_NORM.format(c='text')}) AS fp FROM documents)
+WITH h AS (SELECT doc_id, md5(coalesce({_NORM.format(c='text')}, '')) AS fp
+           FROM documents)
 SELECT min(doc_id) AS doc_id FROM h GROUP BY fp
 """
 

@@ -46,8 +46,13 @@ def _shingles(text_col: str, n: int):
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep one row per distinct normalized text: the minimum id wins."""
-    norm = normalized_text_expr(F.col(text_col))
+    """Keep one row per distinct normalized text: the minimum id wins.
+
+    NULL text normalizes to '' (one empty-doc group) — md5(NULL) is NULL,
+    and a NULL join key matches nothing, so without the coalesce every
+    NULL-text row silently vanished from the keep-list (the NULL-entity
+    defect class; caught by the corpus-pipeline composition test)."""
+    norm = F.coalesce(normalized_text_expr(F.col(text_col)), F.lit(""))
     with_h = df.withColumn("_fp", F.md5(norm))
     keep = with_h.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return (
