@@ -975,6 +975,27 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, bench, n=8).select("doc_id")
 
 
+def q_lda_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 LDA topic model (reference archived/train_topic_model.py:67-169,
+    gensim): df-filtered vocab -> CountVectorizer sparse counts -> online
+    variational LDA -> per-doc mixture. Not SQL-expressible, so no DuckDB
+    oracle (rows-only driver check); value-level evidence is
+    tests/test_topics.py (planted two-vocabulary corpus recovered with
+    purity 1.0, seeded reproducibility, mixtures sum to 1)."""
+    from feature_extraction_spark.ops.topics import doc_topics, train_topics
+
+    d = _docs(spark, sf_dir)
+    m = train_topics(
+        d, k=3, min_df=2, max_df_frac=0.98, max_iter=10, seed=7
+    )
+    out = doc_topics(m, d, min_df=2, max_df_frac=0.98)
+    return out.select(
+        "doc_id",
+        "dominant_topic",
+        F.round("dominant_weight", 4).alias("dominant_weight"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature matrix over events-as-transcripts at
     sf0.001 — sessionized, rolling windows, backfilled purchase value, and
@@ -1058,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truecase_docs": q_truecase_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "lda_topics_docs": q_lda_topics_docs,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 
