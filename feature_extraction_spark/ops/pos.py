@@ -66,11 +66,15 @@ def pos_features(
         F.size(raw_words).alias("_nw"),  # INCLUDES '' tokens (reference :85)
         words.alias("_words"),
     )
+    # tag materialized ONCE per word: inlining penn_tag_expr (a ~200-branch
+    # CASE) into each of the 10 conditional sums re-evaluates the tagger
+    # 10x per row and pushes the generated hashAgg past janino's 64 KB
+    # method limit — whole-stage codegen silently falls back to interpreted
+    # for the aggregation stage (observed in the sf0.01 driver run)
     word_rows = per_turn.select(
         *keys, "_nw", F.explode_outer("_words").alias("word")
-    )
-    tag = penn_tag_expr(F.col("word"))
-    inc = _class_increments(tag)
+    ).withColumn("_tag", penn_tag_expr(F.col("word")))
+    inc = _class_increments(F.col("_tag"))
 
     agg = word_rows.groupBy(*keys).agg(
         *[
