@@ -975,6 +975,39 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, bench, n=8).select("doc_id")
 
 
+def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means-scoped embedding near-dup
+    removal, min-id representative. The raw testdata is near-orthogonal
+    (max pairwise cosine 0.51 at sf0.01 / 0.60 at sf0.1), so deterministic
+    duplicate structure is PLANTED: every vec_id % 10 == 0 gains an
+    identical clone at vec_id + 1_000_000 (same device as pii_scrub_docs'
+    synthetic PII). At threshold 0.9 the true pair set is exactly the
+    planted clone pairs; a clone's vector equals its source's, so it lands
+    in the same cluster under ANY clustering and recall is structurally
+    1.0 — the clustering choice cannot perturb the value-checked output."""
+    from feature_extraction_spark.ops.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    aug = emb.unionByName(clones)
+    kept = semdedup(aug, threshold=0.9, n_clusters=8, iters=2, seed=42)
+    return kept.select("vec_id")
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota sampling (deterministic reservoir
+    equivalent): 20 docs per source, ranked by the salted entity hash —
+    reproducible across engines, partitionings, and cluster sizes."""
+    from feature_extraction_spark.ops.chunk import stratified_sample_exact
+
+    d = _docs(spark, sf_dir)
+    return stratified_sample_exact(
+        d, "source", 20, key_cols="doc_id", salt="strat-r2"
+    ).select("doc_id", "source")
+
+
 def q_lda_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U8 LDA topic model (reference archived/train_topic_model.py:67-169,
     gensim): df-filtered vocab -> CountVectorizer sparse counts -> online
@@ -1080,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "lda_topics_docs": q_lda_topics_docs,
+        "semdedup_emb": q_semdedup_emb,
+        "stratified_sample_docs": q_stratified_sample_docs,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 
@@ -2203,6 +2238,35 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
+    # planted-clone construction mirrors q_semdedup_emb exactly; at
+    # threshold 0.9 the pair set is the clone pairs (max natural cosine
+    # 0.51/0.60 at sf0.01/sf0.1), so the min-id keep rule is clustering-free
+    semdedup_emb = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 10 = 0
+), losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+)
+SELECT vec_id FROM aug WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+    stratified_sample = """
+WITH ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(doc_id::VARCHAR || chr(31) || 'strat-r2'), doc_id
+    ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 20
+"""
+
     return {
         "verbosity_docs": verbosity,
         "lexdiv_docs": lexdiv,
@@ -2402,6 +2466,8 @@ LIMIT 25
         "truecase_docs": truecase,
         "pii_scrub_docs": pii_scrub,
         "decontaminate_docs": decontaminate,
+        "semdedup_emb": semdedup_emb,
+        "stratified_sample_docs": stratified_sample,
         # ivf_topk runs full-probe in the driver (candidates = whole table),
         # so its output is the exact brute-force top-k — same oracle as
         # cosine_topk. Pruned-nprobe recall stays pytest-covered.

@@ -170,3 +170,42 @@ def hash_split(
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
     return df.withColumn(out_col, split_column(key, fractions, salt))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str | list[str],
+    n_per_stratum: int,
+    key_cols: str | list[str],
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows from every stratum (fewer if the
+    stratum is smaller) — the distributed equivalent of per-stratum
+    reservoir sampling, but deterministic: rows are ranked by the salted
+    entity hash, so the same (data, salt) always draws the same sample,
+    independent of partitioning or cluster size, and the sample is NESTED
+    in a larger-n draw at the same salt (reservoirs are neither).
+
+    Use over ``hash_sample`` when strata are heavily skewed and a FRACTION
+    would starve small strata (quality tiers, rare languages) — quota
+    sampling equalizes representation.
+
+    Scale shape: one shuffle keyed by the strata columns for the
+    row_number window. A hot stratum serializes its own window (windows
+    cannot be salted without breaking the exact-k contract); at 100 TB
+    prefer strata with bounded cardinality ratios, or pre-filter with
+    ``hash_sample`` at a safe over-sampling factor and quota-cut the
+    small survivor set."""
+    from pyspark.sql import Window
+
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    strata = [strata_col] if isinstance(strata_col, str) else list(strata_col)
+    h = _entity_hash(key_cols, salt)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*strata).orderBy(h.asc(), *[F.col(k) for k in keys])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

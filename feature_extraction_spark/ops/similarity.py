@@ -316,3 +316,72 @@ def cosine_neardup_pairs(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster above-threshold cosine pairs — SemDeDup's candidate
+    stage (Abbas et al., arXiv:2303.09540: k-means the embedding space,
+    then look for semantic duplicates ONLY inside each cluster).
+
+    Scale shape: one repartition by the cluster id shared by both join
+    sides (same-exchange-reuse as the shingle dedups), so the pairwise
+    stage is O(sum c_i^2) over cluster sizes instead of O(n^2), and no
+    row ever crosses clusters. Cluster count is the knob: n_clusters ~
+    n/10^4 keeps the per-cluster quadratic bounded at any corpus size."""
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col="_c").select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "_c",
+    )
+    assigned = assigned.repartition("_c")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, on="_c")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("_c").alias("cluster"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: drop semantic near-duplicates, keeping one representative
+    per duplicate group. Representative rule: the MINIMUM id survives — a
+    doc is dropped iff it pairs above threshold with a lower id in its
+    cluster (deterministic and SQL-checkable; deviation from the paper's
+    keep-lowest-centroid-similarity rule, which depends on the clustering
+    and so cannot be verified against a clustering-free oracle).
+
+    Training reuses the seeded Lloyd quantizer (ivf_train); the only
+    driver state is the n_clusters x dim centroid matrix."""
+    cents = ivf_train(
+        df, n_centroids=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    losers = (
+        semdedup_pairs(df, cents, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
