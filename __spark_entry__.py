@@ -1008,6 +1008,43 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_quality_model_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (GPT-3-style classifier over the native
+    heuristic features). The synthetic docs carry no quality signal of
+    their own, so separable structure is PLANTED (pii_scrub device):
+    even doc_ids gain stopword-rich clean text, odd ids gain symbol/spam
+    junk; the classifier trains on those labels and scores the corpus.
+    Iterative L-BFGS is not SQL-expressible -> rows-only driver check;
+    value evidence in tests/test_quality_model.py."""
+    from feature_extraction_spark.ops.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = _docs(spark, sf_dir)
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " the committee said that it would have to review the"
+                    " proposal with care and that the details were still"
+                    " to be worked out over the coming weeks" * 2
+                ),
+            ),
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" !!! $$$ zz zz zz WIN WIN !!!" * 6))
+        ),
+    ).withColumn("label", (F.col("doc_id") % 2 == 0).cast("double"))
+    model = train_quality_classifier(planted)
+    out = score_quality(model, planted)
+    return out.select(
+        "doc_id", "label", F.round("q_model_prob", 4).alias("q_model_prob")
+    )
+
+
 def q_lda_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U8 LDA topic model (reference archived/train_topic_model.py:67-169,
     gensim): df-filtered vocab -> CountVectorizer sparse counts -> online
@@ -1115,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lda_topics_docs": q_lda_topics_docs,
         "semdedup_emb": q_semdedup_emb,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "quality_model_docs": q_quality_model_docs,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 

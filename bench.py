@@ -116,6 +116,8 @@ def main() -> None:
     pipeline_sec = _timed(pipe, warmups=2, reps=3)
     out_rows = n_turns  # left-outer join preserves turn grain
     timings["flagship_pipeline"] = round(pipeline_sec, 3)
+    # progress to stderr only — the driver parses the single stdout JSON line
+    print(f"flagship_pipeline: {pipeline_sec:.3f}s", file=sys.stderr)
 
     # headline driver queries over the SF dir
     import __spark_entry__ as entry_mod
@@ -135,6 +137,7 @@ def main() -> None:
     for name in headline:
         mk = lambda name=name: queries[name](spark, SF_DIR)
         timings[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
+        print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = sum(timings.values())
     print(

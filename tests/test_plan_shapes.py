@@ -164,3 +164,43 @@ def test_dedup_self_join_reuses_exchange(spark, turns):
     out.collect()
     plan = _plan(out)
     assert "ReusedExchange" in plan, plan
+
+
+def test_stratified_sample_single_shuffle_and_pruned_scan(spark, turns):
+    """Quota sampler: ONE exchange (the row_number window keyed by the
+    strata), and the projection prunes the parquet scan to the columns the
+    sample actually returns."""
+    from feature_extraction_spark.ops.chunk import stratified_sample_exact
+
+    out = stratified_sample_exact(
+        turns, "role", 5, key_cols=["conv_id", "turn_idx"], salt="p"
+    ).select("conv_id", "turn_idx", "role")
+    plan = _plan(out)
+    assert plan.count(SHUFFLE) == 1, plan
+    # ReadSchema must not include text/tool/ts — only the 3 output columns
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("text" not in s for s in schemas), plan
+
+
+def test_semdedup_pairs_shares_cluster_exchange(spark):
+    """SemDeDup's self-join: both sides demand the same repartition by
+    cluster id, so the exchange is computed once and reused — and the
+    within-cluster join is a real equi-join (no cartesian/nested-loop)."""
+    from feature_extraction_spark.ops.similarity import semdedup_pairs
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 3).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    pairs = semdedup_pairs(emb, cents, threshold=0.99)
+    pairs.collect()  # AQE-final plan (ReusedExchange only appears post-run)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "ReusedExchange" in plan, plan
