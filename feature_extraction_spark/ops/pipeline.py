@@ -37,6 +37,8 @@ def prepare_corpus_stages(
     benchmark_df: DataFrame | None = None,
     max_ppl: float | None = None,
     lm_k: float = 0.1,
+    quality_model=None,
+    min_quality_prob: float = 0.5,
     max_tokens: int = 128,
     overlap: int = 0,
     split_fractions: dict[str, float] | None = None,
@@ -46,14 +48,18 @@ def prepare_corpus_stages(
     lazy DataFrame (ordered input → final). Stages:
 
     input → exact_dedup → gopher → despan → [decontaminate] → [ppl_filter]
-    → chunks → split
+    → [quality_model] → chunks → split
 
     ``benchmark_df`` enables decontamination against its text 8-grams;
     ``max_ppl`` enables the CCNet perplexity filter (the bigram LM is
     trained on the corpus as it stands at that stage — post-cleaning, so
-    boilerplate already removed does not drag the model). The final stage
-    is chunk-grain with a ``split`` column; all earlier stages are
-    doc-grain with the input columns."""
+    boilerplate already removed does not drag the model); ``quality_model``
+    (a trained ops.quality_model.QualityModel) enables the learned-filter
+    stage at ``min_quality_prob`` — the model is trained OUTSIDE the chain
+    (on labels/reference corpora of the caller's choice) so the pipeline
+    itself stays one deterministic lazy plan. The final stage is
+    chunk-grain with a ``split`` column; all earlier stages are doc-grain
+    with the input columns."""
     from feature_extraction_spark.ops.chunk import chunk_documents, hash_split
     from feature_extraction_spark.ops.dedup import decontaminate, exact_dedup
     from feature_extraction_spark.ops.gopher import gopher_filter
@@ -79,6 +85,16 @@ def prepare_corpus_stages(
             cur, lm, max_ppl=max_ppl, text_col=text_col, id_cols=(id_col,)
         )
         stages["ppl_filter"] = cur
+    if quality_model is not None:
+        from feature_extraction_spark.ops.quality_model import quality_filter
+
+        filtered = quality_filter(
+            quality_model, cur, min_prob=min_quality_prob, text_col=text_col
+        )
+        # scoring adds the q_* feature columns + probability; the stage
+        # contract is doc-grain with the INPUT columns
+        cur = filtered.drop(*[c for c in filtered.columns if c not in cur.columns])
+        stages["quality_model"] = cur
     cur = chunk_documents(
         cur, id_col=id_col, text_col=text_col, max_tokens=max_tokens, overlap=overlap
     )

@@ -76,3 +76,35 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert len(df.columns) >= 5
     assert not math.isnan(float(df.count()))
+
+
+# conf-sensitive subset: division-by-zero NaN guards (ANSI would throw),
+# timestamp arithmetic (session TZ would shift unix_micros), and the
+# md5-ranked sampler (string collation) — the _pinned wrapper must shield
+# every query from a hostile driver session and restore its confs after
+HOSTILE_SUBSET = [
+    "timing_stats_events",
+    "rolling_events_1h",
+    "daily_stats_events",
+    "zscore_events",
+    "sessionize_events",
+    "stratified_sample_docs",
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_SUBSET)
+def test_query_under_hostile_session_confs(spark, con, name):
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = QUERIES[name](spark, SF).toPandas()
+        exp = con.execute(ORACLES[name]).df()
+        _compare(name, got, exp)
+        # the wrapper must RESTORE the hostile confs, not leave its pins
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

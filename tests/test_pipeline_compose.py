@@ -88,3 +88,33 @@ def test_prepare_corpus_is_final_stage(spark, corpus):
         final.columns
     )
     assert final.count() > 0
+
+
+def test_quality_model_stage_optional(spark, corpus):
+    from feature_extraction_spark.ops.quality_model import train_quality_classifier
+
+    # train on planted labels: CLEAN-ish docs positive, junk negative
+    labeled = spark.createDataFrame(
+        [
+            (0, CLEAN, 1.0),
+            (1, CLEAN.replace("fox", "cat"), 1.0),
+            (2, "spam spam spam spam spam spam spam spam", 0.0),
+            (3, "!!! $$$ zz zz zz zz zz zz zz zz $$$ !!!", 0.0),
+        ],
+        "doc_id long, text string, label double",
+    )
+    m = train_quality_classifier(labeled)
+    stages = prepare_corpus_stages(
+        corpus, quality_model=m, min_quality_prob=0.5, max_tokens=16
+    )
+    assert "quality_model" in stages
+    prev = stages["despan"]
+    q = stages["quality_model"]
+    # stage contract: doc grain, input columns only, subset of rows
+    assert set(q.columns) == set(prev.columns)
+    q_ids = {r.doc_id for r in q.select("doc_id").collect()}
+    prev_ids = {r.doc_id for r in prev.select("doc_id").collect()}
+    assert q_ids <= prev_ids
+    # the surviving docs all contain CLEAN-like prose; doc 4/5 junk is
+    # already gone at gopher, so the learned stage must keep clean docs
+    assert len(q_ids) > 0
