@@ -42,10 +42,17 @@ QUALITY_FEATURES = [
 
 @dataclass
 class QualityModel:
-    """Fitted classifier + the exact feature recipe it was trained on."""
+    """Fitted classifier as plain data: the exact feature recipe plus the
+    learned weights. Deliberately NOT the Spark-ML model object — the
+    fitted LogisticRegressionModel carries its training summary, whose
+    SparkSession reference makes any closure that captures the model
+    unserializable once the session has live observations (the engine's
+    lineage metrics register those). Plain floats sidestep that entirely
+    and let scoring run as native column expressions."""
 
     features: list[str]
-    lr_model: object  # pyspark.ml.classification.LogisticRegressionModel
+    coefficients: list[float]
+    intercept: float
 
 
 def _feature_vector(df: DataFrame, text_col: str) -> DataFrame:
@@ -102,7 +109,12 @@ def train_quality_classifier(
     lr = LogisticRegression(
         featuresCol="_qfeat", labelCol="label", regParam=reg_param, maxIter=max_iter
     )
-    return QualityModel(features=list(QUALITY_FEATURES), lr_model=lr.fit(train))
+    fitted = lr.fit(train)
+    return QualityModel(
+        features=list(QUALITY_FEATURES),
+        coefficients=[float(c) for c in fitted.coefficients],
+        intercept=float(fitted.intercept),
+    )
 
 
 def score_quality(
@@ -111,17 +123,24 @@ def score_quality(
     text_col: str = "text",
     out_col: str = "q_model_prob",
 ) -> DataFrame:
-    """Add P(high quality) per document. Map-only: coefficients broadcast
-    inside the transform; no shuffle."""
-    from pyspark.ml.functions import vector_to_array
-
-    scored = model.lr_model.transform(_feature_vector(df, text_col))
-    return (
-        scored.withColumn(
-            out_col, F.element_at(vector_to_array("probability"), 2)
-        )
-        .drop("_qfeat", "rawPrediction", "probability", "prediction")
-    )
+    """Add P(high quality) per document as sigmoid(w·x + b) in NATIVE
+    column expressions — the weights are literals folded into the plan, so
+    the whole scorer stays inside whole-stage codegen (no ScalaUDF, no
+    model object shipped to executors). Map-only: no shuffle. Identical
+    math to LogisticRegressionModel.transform's binary probability
+    (Spark ML returns original-scale coefficients even when it trained
+    standardized)."""
+    feat = with_quality_score(df, text_col=text_col)
+    imputed = [
+        F.when(F.isnan(F.col(c)) | F.col(c).isNull(), 0.0)
+        .otherwise(F.col(c))
+        .cast("double")
+        for c in model.features
+    ]
+    margin = F.lit(float(model.intercept))
+    for w, x in zip(model.coefficients, imputed):
+        margin = margin + F.lit(float(w)) * x
+    return feat.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
 
 
 def quality_filter(

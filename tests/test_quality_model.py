@@ -101,3 +101,21 @@ def test_gopher_weak_labels_train_end_to_end(spark):
         F.avg("q_model_prob")
     ).collect()[0][0]
     assert mean_good > mean_bad
+
+
+def test_score_with_live_session_observations(spark, labeled, model):
+    # Regression: scoring must not serialize any object graph that reaches
+    # the SparkSession. The fitted Spark-ML model's training summary holds
+    # one, and sessions with registered Observations (the engine's lineage
+    # metrics) make that graph unserializable — a closure capturing the
+    # model dies with NotSerializableException: ObservationManager. The
+    # QualityModel is plain floats and scoring is native expressions, so
+    # this must pass regardless of session observation state.
+    from pyspark.sql import Observation
+
+    obs = Observation("qm_live_obs")
+    labeled.observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == labeled.count()
+    out = score_quality(model, labeled)
+    probs = [r.q_model_prob for r in out.collect()]
+    assert all(0.0 <= p <= 1.0 for p in probs)
