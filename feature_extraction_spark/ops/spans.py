@@ -34,6 +34,19 @@ Scale design (corpus of N tokens, window L):
   window function) and shuffled as 8-byte xxhash64 keys, never gram
   strings — the duplicate-counting aggregation is map-side combinable and
   moves ~16 bytes per token.
+- the window stream feeds TWO consumers (the duplicate count and the hit
+  semi-join). An explicit ``repartition("h")`` keeps the duplicate-count
+  branch's distinct entirely post-shuffle (one reduce-side pass) instead
+  of building a map-side (h, doc_id) dedup hash table over the full
+  window stream; measured ~10-20%% faster end-to-end at sf0.1. Catalyst
+  prunes different columns under each consumer, so the exchange cannot be
+  shared outright (no ReusedExchange) — the alternatives were measured:
+  ``localCheckpoint`` is another ~20%% faster here but truncates lineage
+  and pins non-replicated blocks (an executor loss fails the whole job at
+  cluster scale), and ``persist(DISK_ONLY)`` times the same as the
+  repartition while leaking cache into the caller's session (the returned
+  frame is lazy, so the function can never safely unpersist). Recompute
+  of the row-local window build is the deliberate scale choice.
 - the hit set (dup hashes) is usually tiny relative to the corpus; the
   hits join is AQE-broadcastable. Island-merging shuffles only hit
   windows (not the corpus) by doc.
@@ -97,7 +110,7 @@ def duplicate_spans(
 
     Returns (id_col, span_start, span_end, span_tokens, n_windows), one row
     per maximal run of duplicated L-token windows."""
-    wins = _windows(df, text_col, id_col, l)
+    wins = _windows(df, text_col, id_col, l).repartition("h")
     dup = _dup_hashes(wins, id_col, min_docs)
     hits = wins.join(dup, on="h", how="leftsemi")
     # gaps-and-islands: same-length intervals sorted by start merge while
@@ -133,7 +146,7 @@ def remove_duplicate_spans(
     occurrence). All input columns are preserved; ``text_col`` is replaced
     by the single-space join of kept tokens (NULL stays NULL) and
     ``n_removed_tokens`` is appended."""
-    wins = _windows(df, text_col, id_col, l)
+    wins = _windows(df, text_col, id_col, l).repartition("h")
     dup = _dup_hashes(wins, id_col, min_docs)
     # all-but-the-canonical-occurrence per L-gram: one exchange + sort over
     # the HIT windows only (the corpus stream itself is never sorted)
