@@ -1058,7 +1058,7 @@ def q_lda_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = train_topics(
         d, k=3, min_df=2, max_df_frac=0.98, max_iter=10, seed=7
     )
-    out = doc_topics(m, d, min_df=2, max_df_frac=0.98)
+    out = doc_topics(m, d)
     return out.select(
         "doc_id",
         "dominant_topic",

@@ -38,9 +38,29 @@ def _salted_md5(key: Column, salt: str) -> Column:
 
 
 def _entity_hash(key_cols: str | list[str], salt: str) -> Column:
-    """_salted_md5 over the US-joined key columns (string-cast)."""
+    """_salted_md5 over the key columns (string-cast).
+
+    Single key: the raw string (NULL -> a NUL sentinel so NULL-keyed rows
+    hash as their own entity rather than colliding with the empty string).
+    Multiple keys: each component is LENGTH-PREFIXED (``len:value``, NULL
+    -> ``n``) before joining — a bare concat_ws silently skips NULLs and
+    cannot distinguish ('a\\x1fb','c') from ('a','b\\x1fc'), so distinct
+    entities would share a hash and every sampler/splitter decision built
+    on it. The single-key form is deliberately unchanged: it is the shape
+    every driver oracle mirrors in SQL (md5(col || chr(31) || salt))."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    if len(keys) == 1:
+        key = F.coalesce(F.col(keys[0]).cast("string"), F.lit("\x00"))
+    else:
+        parts = []
+        for k in keys:
+            s = F.col(k).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("n")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        key = F.concat_ws("\x1f", *parts)
     return _salted_md5(key, salt)
 
 
@@ -203,7 +223,16 @@ def stratified_sample_exact(
     strata = [strata_col] if isinstance(strata_col, str) else list(strata_col)
     h = _entity_hash(key_cols, salt)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    w = Window.partitionBy(*strata).orderBy(h.asc(), *[F.col(k) for k in keys])
+    # Final tiebreaker: a hash of the WHOLE row. When key_cols does not
+    # uniquely identify rows, (h, keys) alone ties every row of an entity
+    # and row_number would pick among them in shuffle-arrival order —
+    # nondeterministic across runs/cluster sizes, violating the contract
+    # above. With the row hash the drawn multiset is deterministic (rows
+    # that still tie are bit-identical, so any pick is value-equal).
+    row_tie = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy(*strata).orderBy(
+        h.asc(), *[F.col(k) for k in keys], row_tie.asc()
+    )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_stratum)

@@ -161,10 +161,25 @@ def with_perplexity(
     c1 = F.coalesce(F.col("_c1"), F.lit(0)).cast("double")
     c12 = F.coalesce(F.col("_c12"), F.lit(0)).cast("double")
     kv = k * F.col("v_vocab")
+
+    def _log_ratio(num, den):
+        # F.log of a non-positive ratio is NULL (non-ANSI), and F.sum
+        # SKIPS NULL rows — with k=0 an unseen bigram would silently
+        # vanish from the doc's log-prob sum, UNDERESTIMATING perplexity
+        # instead of flagging it. Pin the semantics: P=0 -> -inf (the doc
+        # scores ppl=inf and every max_ppl cut drops it), undefined
+        # denominator (empty model, k=0) -> NaN per the library's
+        # zero-denominator convention (functions/text.py).
+        return (
+            F.when(den <= 0.0, nan())
+            .when(num <= 0.0, F.lit(float("-inf")))
+            .otherwise(F.log(num / den))
+        )
+
     lp = F.when(
         F.col("is_first") == 1,
-        F.log((c1 + k) / (F.col("t_tokens") + kv)),
-    ).otherwise(F.log((c12 + k) / (c1 + kv)))
+        _log_ratio(c1 + k, F.col("t_tokens") + kv),
+    ).otherwise(_log_ratio(c12 + k, c1 + kv))
     per_doc = (
         scored.select(*ids, lp.alias("_lp"))
         .groupBy(*ids)

@@ -55,21 +55,27 @@ class QualityModel:
     intercept: float
 
 
+def _imputed_features(features: list[str]) -> list:
+    """NaN/NULL -> 0 imputation per feature column — THE single definition
+    shared by training (_feature_vector) and scoring (score_quality). The
+    model is only correct when scoring imputes bit-identically to
+    training, so the recipe must not exist twice (empty or whitespace-only
+    docs carry NaN ratios by the library's convention; the model must
+    score them, not reject the rows)."""
+    return [
+        F.when(F.isnan(F.col(c)) | F.col(c).isNull(), 0.0)
+        .otherwise(F.col(c))
+        .cast("double")
+        for c in features
+    ]
+
+
 def _feature_vector(df: DataFrame, text_col: str) -> DataFrame:
-    """q_* columns -> ml dense vector, NaN imputed to 0 row-locally (empty
-    or whitespace-only docs carry NaN ratios by the library's convention;
-    the model must score them, not reject the rows)."""
+    """q_* columns -> ml dense vector via the shared imputation recipe."""
     from pyspark.ml.functions import array_to_vector
 
     df = with_quality_score(df, text_col=text_col)
-    arr = F.array(
-        *[
-            F.when(F.isnan(F.col(c)) | F.col(c).isNull(), 0.0)
-            .otherwise(F.col(c))
-            .cast("double")
-            for c in QUALITY_FEATURES
-        ]
-    )
+    arr = F.array(*_imputed_features(QUALITY_FEATURES))
     return df.withColumn("_qfeat", array_to_vector(arr))
 
 
@@ -131,12 +137,7 @@ def score_quality(
     (Spark ML returns original-scale coefficients even when it trained
     standardized)."""
     feat = with_quality_score(df, text_col=text_col)
-    imputed = [
-        F.when(F.isnan(F.col(c)) | F.col(c).isNull(), 0.0)
-        .otherwise(F.col(c))
-        .cast("double")
-        for c in model.features
-    ]
+    imputed = _imputed_features(model.features)
     margin = F.lit(float(model.intercept))
     for w, x in zip(model.coefficients, imputed):
         margin = margin + F.lit(float(w)) * x

@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from feature_extraction_spark.functions.text import tokenize_expr
 from feature_extraction_spark.ops.preprocess import (
     df_vocab_filter,
     filter_tokens_by_vocab,
@@ -45,13 +46,18 @@ from feature_extraction_spark.ops.preprocess import (
 
 @dataclass
 class TopicModel:
-    """Fitted LDA + its vocabulary; holds the small driver-side pieces."""
+    """Fitted LDA + its vocabulary; holds the small driver-side pieces.
+
+    ``log_perplexity`` is None unless ``train_topics(eval_perplexity=True)``
+    asked for it — evaluating it costs a full extra scoring pass over the
+    training corpus, which must not be the silent default in a training
+    hot path."""
 
     k: int
     vocabulary: list[str]  # index -> term (bounded by vocab_size)
     lda_model: object  # pyspark.ml.clustering.LDAModel
     cv_model: object  # pyspark.ml.feature.CountVectorizerModel
-    log_perplexity: float
+    log_perplexity: float | None = None
 
 
 def _doc_tokens(
@@ -87,6 +93,7 @@ def train_topics(
     doc_concentration: float | None = None,
     topic_concentration: float | None = None,
     optimizer: str = "online",
+    eval_perplexity: bool = False,
 ) -> TopicModel:
     """Fit LDA on the corpus. Parameters mirror the reference's gensim
     call (archived/train_topic_model.py:120-135: num_topics, passes,
@@ -118,7 +125,9 @@ def train_topics(
         vocabulary=list(cv_model.vocabulary),
         lda_model=lda_model,
         cv_model=cv_model,
-        log_perplexity=float(lda_model.logPerplexity(vec)),
+        log_perplexity=(
+            float(lda_model.logPerplexity(vec)) if eval_perplexity else None
+        ),
     )
 
 
@@ -142,16 +151,28 @@ def doc_topics(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_df: int = 2,
-    max_df_frac: float = 0.5,
 ) -> DataFrame:
     """Per-document topic mixture: (id, topic_weights array<double>,
     dominant_topic, dominant_weight). The reference materializes
     ``lda[corpus]`` per doc (train_topic_model.py:150-169); here one
-    distributed transform, no driver loop."""
+    distributed transform, no driver loop.
+
+    Scoring tokenizes ONLY — the vocabulary is the TRAINED one, enforced
+    by the fitted CountVectorizerModel (out-of-vocabulary tokens are
+    ignored at counting). Re-deriving the document-frequency filter from
+    the scoring corpus (the old behavior) made mixtures depend on what
+    else happened to be scored alongside — a 1-doc scoring call pruned
+    every token (df=1 fails min_df=2) and returned the uniform prior
+    regardless of content."""
     from pyspark.ml.functions import vector_to_array
 
-    toks = _doc_tokens(df, id_col, text_col, min_df, max_df_frac)
+    toks = df.select(
+        id_col,
+        F.coalesce(
+            F.filter(tokenize_expr(F.col(text_col)), lambda w: w != ""),
+            F.array().cast("array<string>"),
+        ).alias("tokens"),
+    )
     vec = model.cv_model.transform(toks)
     scored = model.lda_model.transform(vec)
     out = scored.select(

@@ -231,3 +231,62 @@ def snapshot_versions(spark: SparkSession, table: str) -> list[int]:
     manifest without its marker is a crashed in-flight write and is not
     listed — time travel can never land on an uncommitted snapshot."""
     return _committed_versions(spark, table)
+
+
+def expire_snapshots(
+    spark: SparkSession, table: str, keep_last: int = 2
+) -> dict:
+    """Delete data + metadata of committed snapshots older than the newest
+    ``keep_last`` — the Iceberg ``expire_snapshots`` analog, and the
+    retention half of the always-on streaming feature store (which
+    otherwise overwrite-commits a full state copy per micro-batch and
+    grows as batches x |state| forever).
+
+    Safety rules:
+    - never touches retained or uncommitted (in-flight) versions;
+    - a data directory is only removed when NO retained manifest
+      references a file under it (``mode='append'`` manifests list their
+      parent's files, so an old version's data can outlive its manifest);
+    - the marker is deleted FIRST: a crash mid-expire leaves unreferenced
+      data files (wasted space, invisible to manifest-driven readers),
+      never a committed version with missing data.
+
+    Time travel to an expired version raises, by design. Returns
+    ``{"expired": [...], "kept": [...], "deleted_bytes": N}``."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    committed = _committed_versions(spark, table)
+    kept = committed[-keep_last:]
+    expired = committed[: -keep_last] if len(committed) > keep_last else []
+    if not expired:
+        return {"expired": [], "kept": kept, "deleted_bytes": 0}
+
+    referenced_dirs = set()
+    for v in kept:
+        for f in read_manifest(spark, table, v)["files"]:
+            referenced_dirs.add(posixpath.dirname(f["path"]))
+
+    deleted_bytes = 0
+    for v in expired:
+        man = read_manifest(spark, table, v)
+        # commit marker first (see docstring), then manifest, then data
+        for p in (_marker_path(table, v), _manifest_path(table, v)):
+            fs, jp = _hadoop_fs(spark, p)
+            if fs.exists(jp):
+                fs.delete(jp, False)
+        data_dir = posixpath.join(table, "data", f"v{v}")
+        # normalize both sides through the FS so scheme differences
+        # (file:/ vs bare path) cannot fake "unreferenced"
+        fs, jdir = _hadoop_fs(spark, data_dir)
+        qualified = fs.makeQualified(jdir).toString()
+        ref_ok = not any(
+            fs.makeQualified(_hadoop_fs(spark, d)[1]).toString() == qualified
+            for d in referenced_dirs
+        )
+        if ref_ok and fs.exists(jdir):
+            deleted_bytes += sum(
+                f["bytes"] for f in man["files"]
+                if posixpath.dirname(f["path"]) == data_dir
+            )
+            fs.delete(jdir, True)
+    return {"expired": expired, "kept": kept, "deleted_bytes": deleted_bytes}

@@ -32,6 +32,7 @@ from feature_extraction_spark.ops.incremental import (
 )
 from feature_extraction_spark.sources.snapshots import (
     commit_snapshot,
+    expire_snapshots,
     last_committed_version,
     read_manifest,
     read_snapshot,
@@ -42,9 +43,29 @@ def make_state_upserter(
     state_table: str,
     value_col: str,
     level: str = "conv",
+    stream_key: str | None = None,
+    allow_stream_handover: bool = False,
+    keep_snapshots: int = 2,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch callable: fold one micro-batch into the state
-    snapshot table, idempotently under batch replay."""
+    snapshot table, idempotently under batch replay.
+
+    ``stream_key`` identifies the stream INSTANCE (use the checkpoint
+    location — ``stream_update_stat_states`` passes it automatically).
+    Batch ids are only monotonic within one checkpoint: a query restarted
+    with a FRESH checkpoint restarts at batch 0, so a bare numeric guard
+    would silently skip every new batch up to the old high-water mark —
+    permanent data loss. With the key recorded, a mismatched stream
+    raises instead (the fresh query also re-reads the source from its
+    configured start, so folding it into existing state would
+    double-count history); pass ``allow_stream_handover=True`` only for a
+    deliberate handover where the new query reads strictly new data.
+
+    ``keep_snapshots``: every commit is a full state copy, so an
+    always-on stream grows storage as batches x |state| without
+    retention; superseded snapshots beyond this many are expired after
+    each commit (>= 2 keeps one rollback target; raise it for time
+    travel, never below 1)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -52,7 +73,26 @@ def make_state_upserter(
         if last is not None:
             m = read_manifest(spark, state_table, last)
             done = m.get("stream_batch_id")
-            if done is not None and int(batch_id) <= int(done):
+            recorded_key = m.get("stream_key")
+            same_stream = (
+                stream_key is None
+                or recorded_key is None
+                or recorded_key == stream_key
+            )
+            if not same_stream:
+                if not allow_stream_handover:
+                    raise RuntimeError(
+                        f"state table {state_table!r} was last written by "
+                        f"stream {recorded_key!r}, not {stream_key!r} — its "
+                        "batch-id watermark is meaningless for this query "
+                        "and folding a restarted-from-scratch stream would "
+                        "double-count history. Reuse the original "
+                        "checkpoint, target a fresh state table, or pass "
+                        "allow_stream_handover=True for a deliberate "
+                        "handover."
+                    )
+                # deliberate handover: fold regardless of the old watermark
+            elif done is not None and int(batch_id) <= int(done):
                 return  # replay of an already-committed batch
         delta = partial_stat_state(batch_df, value_col, level=level)
         if last is None:
@@ -61,12 +101,11 @@ def make_state_upserter(
             state = merge_stat_states(
                 read_snapshot(spark, state_table, last), delta
             )
-        commit_snapshot(
-            state,
-            state_table,
-            mode="overwrite",
-            extra_meta={"stream_batch_id": int(batch_id)},
-        )
+        meta = {"stream_batch_id": int(batch_id)}
+        if stream_key is not None:
+            meta["stream_key"] = stream_key
+        commit_snapshot(state, state_table, mode="overwrite", extra_meta=meta)
+        expire_snapshots(spark, state_table, keep_last=keep_snapshots)
 
     return upsert
 
@@ -78,13 +117,26 @@ def stream_update_stat_states(
     value_col: str,
     level: str = "conv",
     query_name: str = "feature_store_update",
+    allow_stream_handover: bool = False,
+    keep_snapshots: int = 2,
 ):
     """Wire a streaming DataFrame into the state-table upserter. Returns
     the (not-yet-started) DataStreamWriter so the caller picks the
-    trigger (availableNow for catch-up runs, processingTime for always-on)."""
+    trigger (availableNow for catch-up runs, processingTime for always-on).
+    The checkpoint location doubles as the stream identity recorded in
+    every state commit (see make_state_upserter)."""
     return (
         stream.writeStream.queryName(query_name)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .foreachBatch(make_state_upserter(state_table, value_col, level=level))
+        .foreachBatch(
+            make_state_upserter(
+                state_table,
+                value_col,
+                level=level,
+                stream_key=checkpoint,
+                allow_stream_handover=allow_stream_handover,
+                keep_snapshots=keep_snapshots,
+            )
+        )
     )

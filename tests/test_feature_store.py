@@ -102,3 +102,56 @@ def test_upsert_replay_is_idempotent(spark, transcripts, tmp_path):
         finalize_stat_state(read_snapshot(spark, state), "v").toPandas()
     )
     assert np.allclose(doubled["v_count"].sum(), 2 * len(t.toPandas()))
+
+
+def test_fresh_checkpoint_raises_not_silently_skips(spark, transcripts, tmp_path):
+    """A stream restarted with a NEW checkpoint restarts batch ids at 0; a
+    bare numeric watermark would silently discard all its batches (data
+    loss) or double-count history. The upserter must refuse loudly unless
+    the caller declares a deliberate handover."""
+    import pytest
+
+    state = str(tmp_path / "state3")
+    t = _turns_with_value(transcripts).limit(500)
+    up_a = make_state_upserter(state, "value", level="conv", stream_key="ckpt-A")
+    up_a(t, 0)
+    up_a(t, 1)
+    up_b = make_state_upserter(state, "value", level="conv", stream_key="ckpt-B")
+    with pytest.raises(RuntimeError, match="ckpt-A"):
+        up_b(t, 0)
+    # deliberate handover: batch 0 of the new stream FOLDS (no skip) and
+    # takes over the recorded identity
+    v_before = last_committed_version(spark, state)
+    up_b2 = make_state_upserter(
+        state, "value", level="conv", stream_key="ckpt-B",
+        allow_stream_handover=True,
+    )
+    up_b2(t, 0)
+    v_after = last_committed_version(spark, state)
+    assert v_after == v_before + 1
+    m = read_manifest(spark, state, v_after)
+    assert m["stream_key"] == "ckpt-B" and m["stream_batch_id"] == 0
+    # ...and the new identity's replay guard works from there
+    up_b2(t, 0)
+    assert last_committed_version(spark, state) == v_after
+
+
+def test_retention_bounds_snapshot_storage(spark, transcripts, tmp_path):
+    """An always-on stream overwrite-commits a full state copy per batch;
+    keep_snapshots must bound the table directory instead of letting it
+    grow as batches x |state|."""
+    from feature_extraction_spark.sources.snapshots import snapshot_versions
+
+    state = str(tmp_path / "state4")
+    t = _turns_with_value(transcripts).limit(300)
+    up = make_state_upserter(
+        state, "value", level="conv", stream_key="ck", keep_snapshots=2
+    )
+    for b in range(5):
+        up(t.filter(F.col("turn_idx") % 5 == b), b)
+    vs = snapshot_versions(spark, state)
+    assert vs == [4, 5]  # exactly keep_snapshots survivors
+    # latest state still reads fine and equals the full-batch aggregation
+    got = finalize_stat_state(read_snapshot(spark, state), "v").toPandas()
+    exp = _expected(t.toPandas())
+    assert set(got["conv_id"]) == set(exp)

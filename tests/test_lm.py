@@ -125,3 +125,19 @@ def test_lm_no_python_udfs(corpus):
     lm = train_bigram_lm(corpus)
     plan = with_perplexity(corpus, lm)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_unsmoothed_unseen_bigram_gives_inf_not_silent_skip(spark, corpus):
+    # Regression: with k=0, log(0) is NULL in non-ANSI Spark and F.sum
+    # SKIPS NULL rows — an unseen bigram silently vanished from the
+    # log-prob sum, UNDERESTIMATING ppl. Pinned semantics: P=0 -> -inf
+    # log-prob -> ppl = +inf -> every perplexity_filter cut drops the doc.
+    lm = train_bigram_lm(corpus, k=0.0)
+    held = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "cat the zzz")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.ppl for r in with_perplexity(held, lm).collect()}
+    assert math.isfinite(out[100])  # fully in-model word sequence
+    assert math.isinf(out[101])  # contains a zero-probability transition
+    kept = perplexity_filter(held, lm, max_ppl=1e18)
+    assert {r.doc_id for r in kept.collect()} == {100}

@@ -159,3 +159,44 @@ def test_manifest_without_marker_is_uncommitted(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="never committed"):
         read_snapshot(spark, table, version=2)
+
+
+def test_expire_snapshots_retention_and_time_travel_cutoff(spark, tmp_path):
+    import pytest
+
+    from feature_extraction_spark.sources.snapshots import expire_snapshots
+
+    table = "file://" + str(tmp_path / "t7")
+    for i in range(4):
+        commit_snapshot(_df(spark, 0, 10 * (i + 1)), table)
+    out = expire_snapshots(spark, table, keep_last=2)
+    assert out["expired"] == [1, 2] and out["kept"] == [3, 4]
+    assert out["deleted_bytes"] > 0
+    assert snapshot_versions(spark, table) == [3, 4]
+    assert read_snapshot(spark, table).count() == 40  # latest untouched
+    assert read_snapshot(spark, table, version=3).count() == 30
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=1)  # expired by design
+    # idempotent / no-op below keep_last
+    again = expire_snapshots(spark, table, keep_last=2)
+    assert again["expired"] == [] and again["deleted_bytes"] == 0
+
+
+def test_expire_keeps_data_shared_via_append_manifests(spark, tmp_path):
+    """mode='append' manifests reference their PARENT's data files; expiring
+    the parent version must not delete data a retained manifest still
+    lists."""
+    from feature_extraction_spark.sources.snapshots import expire_snapshots
+
+    table = "file://" + str(tmp_path / "t8")
+    commit_snapshot(_df(spark, 0, 50), table)                  # v1 data
+    commit_snapshot(_df(spark, 50, 80), table, mode="append")  # v2 -> v1+v2 data
+    commit_snapshot(_df(spark, 80, 90), table, mode="append")  # v3 -> all
+    out = expire_snapshots(spark, table, keep_last=1)
+    assert out["expired"] == [1, 2]
+    # v3's manifest still lists v1/v2 data dirs, so they must survive and
+    # the full union must still read back
+    got = read_snapshot(spark, table)
+    assert got.count() == 90
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(90))
+    assert out["deleted_bytes"] == 0  # nothing was safe to delete

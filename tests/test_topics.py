@@ -40,7 +40,7 @@ def model(corpus):
 
 
 def test_two_topic_purity(corpus, model):
-    out = doc_topics(model, corpus, min_df=2).collect()
+    out = doc_topics(model, corpus).collect()
     assert len(out) == 20
     by_cluster = {0: set(), 1: set()}
     for r in out:
@@ -51,7 +51,7 @@ def test_two_topic_purity(corpus, model):
 
 
 def test_mixtures_are_distributions(corpus, model):
-    out = doc_topics(model, corpus, min_df=2).collect()
+    out = doc_topics(model, corpus).collect()
     for r in out:
         assert len(r.topic_weights) == 2
         assert math.isclose(sum(r.topic_weights), 1.0, rel_tol=1e-9)
@@ -74,8 +74,8 @@ def test_topic_terms_vocabularies_separate(model):
 
 def test_seeded_reproducibility(corpus, model):
     m2 = train_topics(corpus, k=2, min_df=2, max_iter=30, seed=7, optimizer="em")
-    a = {r.doc_id: r.topic_weights for r in doc_topics(model, corpus, min_df=2).collect()}
-    b = {r.doc_id: r.topic_weights for r in doc_topics(m2, corpus, min_df=2).collect()}
+    a = {r.doc_id: r.topic_weights for r in doc_topics(model, corpus).collect()}
+    b = {r.doc_id: r.topic_weights for r in doc_topics(m2, corpus).collect()}
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-12)
@@ -87,7 +87,21 @@ def test_pruned_doc_keeps_row(spark, model, corpus):
     extra = spark.createDataFrame(
         [(999, "zzzuniquetoken qqqsingleton")], "doc_id long, text string"
     )
-    out = doc_topics(model, corpus.unionByName(extra), min_df=2)
+    out = doc_topics(model, corpus.unionByName(extra))
     row = out.filter(F.col("doc_id") == 999).collect()
     assert len(row) == 1
     assert math.isclose(sum(row[0].topic_weights), 1.0, rel_tol=1e-9)
+
+
+def test_single_doc_scoring_uses_trained_vocab(spark, model):
+    # Regression: scoring must prune against the TRAINED vocabulary, not a
+    # document-frequency filter re-derived from the scoring corpus. With
+    # the old behavior a 1-doc scoring call had df=1 for every token
+    # (< min_df=2), pruned everything, and returned the uniform prior for
+    # any input. A single on-topic doc must score a non-uniform mixture.
+    one = spark.createDataFrame([(7777, _mk(SPORT, 3))], "doc_id long, text string")
+    row = doc_topics(model, one).collect()
+    assert len(row) == 1
+    w = row[0].topic_weights
+    assert math.isclose(sum(w), 1.0, rel_tol=1e-9)
+    assert max(w) > 0.6  # decisively not the uniform [0.5, 0.5] prior
