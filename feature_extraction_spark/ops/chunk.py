@@ -198,6 +198,7 @@ def stratified_sample_exact(
     n_per_stratum: int,
     key_cols: str | list[str],
     salt: str = "",
+    tiebreak_cols: str | list[str] | None = None,
 ) -> DataFrame:
     """EXACTLY ``n_per_stratum`` rows from every stratum (fewer if the
     stratum is smaller) — the distributed equivalent of per-stratum
@@ -215,7 +216,19 @@ def stratified_sample_exact(
     cannot be salted without breaking the exact-k contract); at 100 TB
     prefer strata with bounded cardinality ratios, or pre-filter with
     ``hash_sample`` at a safe over-sampling factor and quota-cut the
-    small survivor set."""
+    small survivor set.
+
+    Determinism contract: the draw is ranked by (salted entity hash,
+    key_cols), which is a total order iff ``key_cols`` uniquely identify
+    rows within a stratum — the normal case (doc ids, (conv_id, turn_idx)).
+    If your keys can repeat, pass ``tiebreak_cols`` (``"row"`` = hash the
+    whole row, or an explicit column list): rows tied on the keys are then
+    ranked by that hash, so the drawn multiset stays deterministic across
+    runs and cluster sizes (rows that still tie are bit-identical on the
+    tiebreak columns, so any pick is value-equal). The default stays
+    ``None`` because a whole-row tiebreaker references every column and
+    defeats parquet column pruning — at 100 TB the sampler should read
+    only (strata + keys + output columns), not the text payload."""
     from pyspark.sql import Window
 
     if n_per_stratum < 1:
@@ -223,16 +236,15 @@ def stratified_sample_exact(
     strata = [strata_col] if isinstance(strata_col, str) else list(strata_col)
     h = _entity_hash(key_cols, salt)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    # Final tiebreaker: a hash of the WHOLE row. When key_cols does not
-    # uniquely identify rows, (h, keys) alone ties every row of an entity
-    # and row_number would pick among them in shuffle-arrival order —
-    # nondeterministic across runs/cluster sizes, violating the contract
-    # above. With the row hash the drawn multiset is deterministic (rows
-    # that still tie are bit-identical, so any pick is value-equal).
-    row_tie = F.xxhash64(*[F.col(c) for c in df.columns])
-    w = Window.partitionBy(*strata).orderBy(
-        h.asc(), *[F.col(k) for k in keys], row_tie.asc()
-    )
+    order = [h.asc(), *[F.col(k) for k in keys]]
+    if tiebreak_cols is not None:
+        tie = (
+            list(df.columns)
+            if tiebreak_cols == "row"
+            else ([tiebreak_cols] if isinstance(tiebreak_cols, str) else list(tiebreak_cols))
+        )
+        order.append(F.xxhash64(*[F.col(c) for c in tie]).asc())
+    w = Window.partitionBy(*strata).orderBy(*order)
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_stratum)

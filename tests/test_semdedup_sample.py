@@ -90,3 +90,19 @@ def test_stratified_exact_validates(spark):
     df = spark.createDataFrame([(1, "a")], "id long, stratum string")
     with pytest.raises(ValueError):
         stratified_sample_exact(df, "stratum", 0, key_cols="id")
+
+
+def test_stratified_exact_duplicate_keys_tiebreak(spark):
+    # key_cols NOT unique: 10 ids x 3 copies with distinct payloads.
+    rows = [(i, "s", f"payload-{i}-{j}") for i in range(10) for j in range(3)]
+    df = spark.createDataFrame(rows, "id long, stratum string, payload string")
+    a = stratified_sample_exact(
+        df, "stratum", 7, key_cols="id", salt="s", tiebreak_cols="row"
+    )
+    b = stratified_sample_exact(
+        df.repartition(13), "stratum", 7, key_cols="id", salt="s", tiebreak_cols="row"
+    )
+    # the drawn MULTISET (including payloads) is identical regardless of
+    # the physical input layout
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 7
