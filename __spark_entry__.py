@@ -1094,6 +1094,61 @@ def entry(spark: SparkSession) -> DataFrame:
         _restore_confs(spark, saved)
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granule-decomposed range join: every event inside a 45-minute
+    exposure window opened by the same user's first 200 events. Verified
+    value-for-value against a DuckDB BETWEEN join — the decomposition must
+    introduce no duplicates and miss no containments."""
+    from feature_extraction_spark.ops.rangejoin import interval_join
+
+    e = _events(spark, sf_dir)
+    iv = (
+        e.filter(F.col("event_id") < 200)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end"),
+        )
+    )
+    out = interval_join(
+        e.select("event_id", "user_id", "ts"),
+        iv,
+        granule_seconds=2700.0,
+        on="user_id",
+    )
+    return out.select("event_id", "user_id", "iv_id")
+
+
+def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-edge histogram state -> per-user value quantiles.
+    The state is built as two disjoint shard states merged together, so the
+    driver check covers the mergeability contract, not just the binning.
+    _r4: within-bin interpolation arithmetic is ulp-sensitive across
+    engines."""
+    from feature_extraction_spark.ops.sketches import (
+        HistogramSpec,
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    spec = HistogramSpec(lo=0.0, hi=100.0, bins=200)
+    t = _events_as_transcripts(spark, sf_dir)
+    a = histogram_state(t.filter(F.col("event_id") % 2 == 0), "value", spec)
+    b = histogram_state(t.filter(F.col("event_id") % 2 == 1), "value", spec)
+    out = histogram_quantiles(
+        merge_histogram_states(a, b), spec, probs=[0.25, 0.5, 0.75]
+    )
+    out = out.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.col("q_0_25").alias("hq25"),
+        F.col("q_0_5").alias("hq50"),
+        F.col("q_0_75").alias("hq75"),
+    )
+    return _r4(out, ["hq25", "hq50", "hq75"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _q = {
         "verbosity_docs": q_verbosity_docs,
@@ -1153,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_emb": q_semdedup_emb,
         "stratified_sample_docs": q_stratified_sample_docs,
         "quality_model_docs": q_quality_model_docs,
+        "interval_join_events": q_interval_join_events,
+        "hist_quantile_events": q_hist_quantile_events,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 
@@ -2511,4 +2568,41 @@ LIMIT 25
         # cosine_topk. Pruned-nprobe recall stays pytest-covered.
         "ivf_topk": cosine_topk,
         "multimodal_features": _multimodal_sql(),
+        # granule-decomposed range join == plain BETWEEN join
+        "interval_join_events": """
+SELECT p.event_id, p.user_id, i.iv_id
+FROM events p
+JOIN (
+  SELECT event_id AS iv_id, user_id, ts AS s,
+         ts + INTERVAL 45 MINUTE AS e
+  FROM events WHERE event_id < 200
+) i ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts < i.e
+""",
+        # fixed-edge histogram quantiles: lo=0, hi=100, bins=200 (w=0.5);
+        # identical bin/interpolation arithmetic (0.5 and p in {.25,.5,.75}
+        # are exact binary fractions, so the doubles agree bit-for-bit;
+        # _r4 guards the division ulp)
+        "hist_quantile_events": """
+WITH hist AS (
+  SELECT user_id,
+         least(greatest(CAST(floor(value/0.5) AS BIGINT), 0), 199) AS bin,
+         count(*) AS n
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), c AS (
+  SELECT user_id, bin, n,
+         sum(n) OVER (PARTITION BY user_id ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY user_id) AS tot
+  FROM hist
+)
+SELECT user_id,
+  round(min(CASE WHEN cum >= 0.25*tot AND cum-n < 0.25*tot
+    THEN bin*0.5 + 0.5*least(greatest((0.25*tot-(cum-n))/n, 0), 1) END), 4) AS hq25,
+  round(min(CASE WHEN cum >= 0.5*tot AND cum-n < 0.5*tot
+    THEN bin*0.5 + 0.5*least(greatest((0.5*tot-(cum-n))/n, 0), 1) END), 4) AS hq50,
+  round(min(CASE WHEN cum >= 0.75*tot AND cum-n < 0.75*tot
+    THEN bin*0.5 + 0.5*least(greatest((0.75*tot-(cum-n))/n, 0), 1) END), 4) AS hq75
+FROM c GROUP BY user_id
+""",
     }

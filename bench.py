@@ -133,6 +133,7 @@ def main() -> None:
         "dedup_clusters_docs", "chunk_docs", "hash_split_docs", "mixture_docs",
         "gopher_docs", "bm25_topk_docs", "heavy_hitters_docs", "lm_ppl_docs",
         "dup_spans_docs", "despan_docs", "rolling_median_events",
+        "interval_join_events", "hist_quantile_events",
     ]
     for name in headline:
         mk = lambda name=name: queries[name](spark, SF_DIR)

@@ -31,6 +31,8 @@ training-pipeline extension of that stat-bundle shape.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -249,3 +251,138 @@ def heavy_hitter_terms(
         )
     )
     return heavy_hitters(toks, col="term", k=k, capacity=capacity)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile state
+# ---------------------------------------------------------------------------
+#
+# percentile_approx answers quantiles in one full scan, but its sketch lives
+# only inside a single aggregation — it cannot be persisted per shard and
+# merged later, which is exactly what the incremental feature store
+# (ops/incremental.py) needs for medians/p99s ("exact medians are NOT
+# algebraically mergeable"). A fixed-edge histogram IS: with bin edges pinned
+# by configuration (not by the data), the per-entity state is a sparse
+# (entity, bin, n) table — computable per shard with one hash aggregation,
+# mergeable with another (sum of counts), and finalizable to any quantile
+# with error bounded by one bin width. This is the classic mergeable-summary
+# tradeoff (Agarwal et al., "Mergeable Summaries", PODS'12): pinning the
+# edges up front buys unrestricted mergeability.
+
+
+@dataclass(frozen=True)
+class HistogramSpec:
+    """Fixed bin-edge configuration. ``lo``/``hi`` pin the domain — values
+    below ``lo`` clamp into bin 0, values at/above ``hi`` into the last bin
+    (tail quantiles inside a clamped bin saturate at the domain edge, so
+    size the domain generously; log=True gives relative-error bins for
+    positive heavy-tailed values like latencies)."""
+
+    lo: float
+    hi: float
+    bins: int = 128
+    log: bool = False
+
+    def __post_init__(self):
+        if not (self.hi > self.lo):
+            raise ValueError("hi must be > lo")
+        if self.bins < 2:
+            raise ValueError("bins must be >= 2")
+        if self.log and self.lo <= 0:
+            raise ValueError("log bins need lo > 0")
+
+    def bin_expr(self, c: Column) -> Column:
+        import math
+
+        if self.log:
+            scale = self.bins / (math.log(self.hi) - math.log(self.lo))
+            raw = F.floor((F.log(c) - F.lit(math.log(self.lo))) * F.lit(scale))
+        else:
+            w = (self.hi - self.lo) / self.bins
+            raw = F.floor((c - F.lit(self.lo)) / F.lit(w))
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(self.bins - 1)
+        ).cast("int")
+
+    def edge_exprs(self, bin_col: Column) -> tuple[Column, Column]:
+        """(lower, upper) value edges of a bin, as columns."""
+        import math
+
+        b = bin_col.cast("double")
+        if self.log:
+            lw = (math.log(self.hi) - math.log(self.lo)) / self.bins
+            lo = F.exp(F.lit(math.log(self.lo)) + b * F.lit(lw))
+            hi = F.exp(F.lit(math.log(self.lo)) + (b + 1) * F.lit(lw))
+        else:
+            w = (self.hi - self.lo) / self.bins
+            lo = F.lit(self.lo) + b * F.lit(w)
+            hi = F.lit(self.lo) + (b + 1) * F.lit(w)
+        return lo, hi
+
+
+def histogram_state(
+    df: DataFrame,
+    value_col: str,
+    spec: HistogramSpec,
+    level: str = "conv",
+) -> DataFrame:
+    """Per-entity sparse histogram state ``(keys..., bin, n)`` — ONE
+    map-side-combinable hash aggregation, no sort. NULL/NaN values are
+    excluded (quantile semantics); an entity whose values are all NULL/NaN
+    has no state rows and finalizes to no output row."""
+    keys = keys_for(level)
+    c = F.col(value_col).cast("double")
+    return (
+        df.filter(c.isNotNull() & ~F.isnan(c))
+        .groupBy(*keys, spec.bin_expr(c).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histogram_states(*states: DataFrame) -> DataFrame:
+    """Combine shard states (same ``HistogramSpec``!): union + one hash
+    aggregation over |state| rows — independent of the raw data size. The
+    caller owns spec consistency; states binned under different edges are
+    not comparable and must be rebuilt."""
+    from functools import reduce
+
+    allu = reduce(lambda a, b: a.unionByName(b), states)
+    keys = [c for c in allu.columns if c not in ("bin", "n")]
+    return allu.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    spec: HistogramSpec,
+    probs: list[float] = (0.25, 0.5, 0.75),
+    prefix: str = "q",
+) -> DataFrame:
+    """Finalize a histogram state to per-entity quantiles (``{prefix}_<p>``
+    columns), linearly interpolated within the winning bin — error <= one
+    bin width. One exchange: a cumulative-count window keyed by the entity,
+    then a per-entity min over candidate bins per quantile. All native
+    expressions; no data-grain rescan (input is |entity x occupied bins|)."""
+    from pyspark.sql import Window
+
+    keys = [c for c in state.columns if c not in ("bin", "n")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*keys)
+    st = state.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(tot_w)
+    )
+    blo, bhi = spec.edge_exprs(F.col("bin"))
+    aggs = []
+    for p in probs:
+        target = F.lit(float(p)) * F.col("tot")
+        # the winning bin is the FIRST with cum >= target; interpolate the
+        # rank remainder into its value range
+        inside = (F.col("cum") >= target) & (F.col("cum") - F.col("n") < target)
+        frac = (target - (F.col("cum") - F.col("n"))) / F.col("n")
+        est = blo + (bhi - blo) * F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        name = f"{prefix}_{str(p).replace('.', '_')}"
+        aggs.append(F.min(F.when(inside, est)).alias(name))
+    return st.groupBy(*keys).agg(*aggs)
