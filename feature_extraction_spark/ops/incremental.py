@@ -14,8 +14,10 @@ touches |new data| + |state| bytes regardless of table history. Mergeable
 HLL sketches (ops/sketches.py) compose with the same flow for distincts.
 
 Exact medians are NOT algebraically mergeable; packs that need them either
-rescan (exact) or use ``sketches.approx_stat_bundle`` at the full-scan
-grain. The sumsq variance form can cancel catastrophically when
+rescan (exact), use ``sketches.approx_stat_bundle`` at the full-scan grain,
+or maintain a ``sketches.histogram_state`` next to the stat state — the
+fixed-edge histogram IS mergeable under this same flow and finalizes to any
+quantile within one bin width. The sumsq variance form can cancel catastrophically when
 |mean| >> stddev; values here (counts, durations, gaps) are well away from
 that regime — for hostile magnitudes, shift by a per-entity offset first.
 
