@@ -296,7 +296,10 @@ class HistogramSpec:
 
         if self.log:
             scale = self.bins / (math.log(self.hi) - math.log(self.lo))
-            raw = F.floor((F.log(c) - F.lit(math.log(self.lo))) * F.lit(scale))
+            # clamp BEFORE the log: log(x<=0) is NULL, which would escape
+            # the least/greatest clamp and land the row in a NULL bin
+            safe = F.greatest(c, F.lit(self.lo))
+            raw = F.floor((F.log(safe) - F.lit(math.log(self.lo))) * F.lit(scale))
         else:
             w = (self.hi - self.lo) / self.bins
             raw = F.floor((c - F.lit(self.lo)) / F.lit(w))

@@ -188,6 +188,13 @@ def test_histogram_clamps_domain(spark):
     state = histogram_state(df, "v", spec)
     bins = {r.bin for r in state.collect()}
     assert bins == {0, 9}  # -5 clamps to bin 0, 99 to the last bin
+    # log bins: values at/below zero must clamp into bin 0, not vanish
+    # into a NULL bin (log(x<=0) is NULL)
+    lspec = HistogramSpec(lo=0.1, hi=1000.0, bins=20, log=True)
+    lstate = histogram_state(df, "v", lspec)
+    lbins = {r.bin: r.n for r in lstate.collect()}
+    assert None not in lbins and sum(lbins.values()) == 3
+    assert lbins.get(0, 0) >= 1  # the -5.0 row
     with pytest.raises(ValueError):
         HistogramSpec(lo=5.0, hi=5.0)
     with pytest.raises(ValueError):
