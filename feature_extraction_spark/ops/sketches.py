@@ -361,8 +361,13 @@ def histogram_quantiles(
     prefix: str = "q",
 ) -> DataFrame:
     """Finalize a histogram state to per-entity quantiles (``{prefix}_<p>``
-    columns), linearly interpolated within the winning bin — error <= one
-    bin width. One exchange: a cumulative-count window keyed by the entity,
+    columns), linearly interpolated within the winning bin — within one
+    bin width of the RANK-BASED (inverted-CDF) quantile, i.e. the
+    ceil(p*n)-th order statistic. For large samples this coincides with
+    interpolated (type-7) quantiles to the same bound; for tiny sparse
+    groups the two conventions legitimately differ (type-7 interpolates
+    ACROSS value gaps), so exactness tests must compare rank-based.
+    One exchange: a cumulative-count window keyed by the entity,
     then a per-entity min over candidate bins per quantile. All native
     expressions; no data-grain rescan (input is |entity x occupied bins|)."""
     from pyspark.sql import Window

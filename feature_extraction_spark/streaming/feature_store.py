@@ -41,14 +41,25 @@ from feature_extraction_spark.sources.snapshots import (
 
 def make_state_upserter(
     state_table: str,
-    value_col: str,
+    value_col: str | None = None,
     level: str = "conv",
     stream_key: str | None = None,
     allow_stream_handover: bool = False,
     keep_snapshots: int = 2,
+    partial_fn: Callable[[DataFrame], DataFrame] | None = None,
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch callable: fold one micro-batch into the state
     snapshot table, idempotently under batch replay.
+
+    The folded summary defaults to the (n, sum, sumsq, min, max) stat
+    state over ``value_col``, but ANY mergeable summary works — pass
+    ``partial_fn`` (micro-batch -> state rows) and ``merge_fn``
+    (previous state x delta state -> merged state), e.g. the fixed-edge
+    histogram quantile state (ops/sketches.histogram_state /
+    merge_histogram_states, see ``stream_update_histogram_states``) or
+    HLL sketch tables. The commit/replay/retention machinery is summary-
+    agnostic.
 
     ``stream_key`` identifies the stream INSTANCE (use the checkpoint
     location — ``stream_update_stat_states`` passes it automatically).
@@ -66,6 +77,13 @@ def make_state_upserter(
     retention; superseded snapshots beyond this many are expired after
     each commit (>= 2 keeps one rollback target; raise it for time
     travel, never below 1)."""
+    if (partial_fn is None) != (merge_fn is None):
+        raise ValueError("pass partial_fn and merge_fn together")
+    if partial_fn is None and value_col is None:
+        raise ValueError("need value_col (stat state) or partial_fn/merge_fn")
+    if partial_fn is None:
+        partial_fn = lambda b: partial_stat_state(b, value_col, level=level)
+        merge_fn = merge_stat_states
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -94,13 +112,11 @@ def make_state_upserter(
                 # deliberate handover: fold regardless of the old watermark
             elif done is not None and int(batch_id) <= int(done):
                 return  # replay of an already-committed batch
-        delta = partial_stat_state(batch_df, value_col, level=level)
+        delta = partial_fn(batch_df)
         if last is None:
             state = delta
         else:
-            state = merge_stat_states(
-                read_snapshot(spark, state_table, last), delta
-            )
+            state = merge_fn(read_snapshot(spark, state_table, last), delta)
         meta = {"stream_batch_id": int(batch_id)}
         if stream_key is not None:
             meta["stream_key"] = stream_key
@@ -137,6 +153,47 @@ def stream_update_stat_states(
                 stream_key=checkpoint,
                 allow_stream_handover=allow_stream_handover,
                 keep_snapshots=keep_snapshots,
+            )
+        )
+    )
+
+
+def stream_update_histogram_states(
+    stream: DataFrame,
+    state_table: str,
+    checkpoint: str,
+    value_col: str,
+    spec,
+    level: str = "conv",
+    query_name: str = "feature_store_histogram_update",
+    allow_stream_handover: bool = False,
+    keep_snapshots: int = 2,
+):
+    """Maintain per-entity HISTOGRAM QUANTILE state (ops/sketches.py
+    fixed-edge mergeable summaries) from a stream — always-on p50/p99
+    tracking without ever rescanning history. Finalize any snapshot with
+    ``histogram_quantiles(read_snapshot(...), spec)``. Same commit /
+    replay-idempotency / retention machinery as the stat-state form; the
+    ``spec`` (bin edges) must stay constant for the state table's lifetime
+    — changing it requires a rebuild (states under different edges do not
+    merge)."""
+    from feature_extraction_spark.ops.sketches import (
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    return (
+        stream.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .foreachBatch(
+            make_state_upserter(
+                state_table,
+                stream_key=checkpoint,
+                allow_stream_handover=allow_stream_handover,
+                keep_snapshots=keep_snapshots,
+                partial_fn=lambda b: histogram_state(b, value_col, spec, level=level),
+                merge_fn=merge_histogram_states,
             )
         )
     )

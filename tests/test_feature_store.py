@@ -2,6 +2,7 @@
 batch recomputation, and batch-replay idempotency."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from feature_extraction_spark.ops.incremental import finalize_stat_state
@@ -155,3 +156,67 @@ def test_retention_bounds_snapshot_storage(spark, transcripts, tmp_path):
     got = finalize_stat_state(read_snapshot(spark, state), "v").toPandas()
     exp = _expected(t.toPandas())
     assert set(got["conv_id"]) == set(exp)
+
+
+def test_stream_histogram_state_matches_batch(spark, transcripts, tmp_path):
+    """Histogram-summary maintenance through the generalized upserter: two
+    catch-up runs, final state == one batch histogram over everything, and
+    finalized quantiles land within a bin width of exact."""
+    from feature_extraction_spark.ops.sketches import (
+        HistogramSpec,
+        histogram_quantiles,
+        histogram_state,
+    )
+    from feature_extraction_spark.streaming.feature_store import (
+        stream_update_histogram_states,
+    )
+
+    src = str(tmp_path / "hsrc")
+    state = str(tmp_path / "hstate")
+    ckpt = str(tmp_path / "hckpt")
+    spec = HistogramSpec(lo=0.0, hi=200.0, bins=100)
+    t = _turns_with_value(transcripts)
+    t.filter(F.col("turn_idx") % 2 == 0).write.mode("append").parquet(src)
+
+    def run_catchup():
+        stream = spark.readStream.schema(t.schema).parquet(src)
+        q = (
+            stream_update_histogram_states(
+                stream, state, ckpt, value_col="value", spec=spec, level="conv"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_catchup()
+    t.filter(F.col("turn_idx") % 2 == 1).write.mode("append").parquet(src)
+    run_catchup()
+
+    got = read_snapshot(spark, state)
+    whole = histogram_state(t, "value", spec, level="conv")
+    assert sorted(map(tuple, got.select("conv_id", "bin", "n").collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    q50 = {
+        r.conv_id: r.q_0_5
+        for r in histogram_quantiles(got.select("conv_id", "bin", "n"), spec, [0.5]).collect()
+    }
+    pdf = t.toPandas()
+    width = (spec.hi - spec.lo) / spec.bins
+    for cid, grp in pdf.groupby("conv_id"):
+        # the histogram's guarantee is vs the RANK-BASED (inverted-CDF)
+        # quantile — the ceil(p*n)-th order statistic; type-7 interpolation
+        # can sit arbitrarily far across a value gap in tiny groups
+        exact = float(np.quantile(grp["value"].values, 0.5, method="inverted_cdf"))
+        exact = min(max(exact, spec.lo), spec.hi)  # domain-clamped target
+        assert abs(q50[cid] - exact) <= width + 1e-9, cid
+
+
+def test_upserter_validates_custom_fns(spark):
+    from feature_extraction_spark.streaming.feature_store import make_state_upserter
+
+    with pytest.raises(ValueError):
+        make_state_upserter("t", partial_fn=lambda b: b)  # merge_fn missing
+    with pytest.raises(ValueError):
+        make_state_upserter("t")  # neither value_col nor fns
