@@ -228,7 +228,11 @@ def stratified_sample_exact(
     tiebreak columns, so any pick is value-equal). The default stays
     ``None`` because a whole-row tiebreaker references every column and
     defeats parquet column pruning — at 100 TB the sampler should read
-    only (strata + keys + output columns), not the text payload."""
+    only (strata + keys + output columns), not the text payload. Note the
+    unique-keys contract is the same one ``hash_split``/``hash_sample``
+    already rely on (an entity hash presumes the keys NAME an entity);
+    callers sampling at a coarser grain than their rows must opt in to a
+    tiebreak or accept arrival-order picks among within-entity rows."""
     from pyspark.sql import Window
 
     if n_per_stratum < 1:

@@ -69,11 +69,13 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
-    if granule_seconds <= 0:
-        raise ValueError("granule_seconds must be > 0")
     keys = [on] if isinstance(on, str) else list(on or [])
 
     g_us = int(granule_seconds * 1_000_000)
+    if g_us < 1:
+        # sub-microsecond granules truncate to 0 and `div 0` would NULL
+        # every granule id (matching nothing) or throw under ANSI
+        raise ValueError("granule_seconds must be >= 1 microsecond")
 
     def gran(col: str):
         # integer `div`: exact on longs (a double division loses ulps past

@@ -81,6 +81,13 @@ def make_state_upserter(
         raise ValueError("pass partial_fn and merge_fn together")
     if partial_fn is None and value_col is None:
         raise ValueError("need value_col (stat state) or partial_fn/merge_fn")
+    if partial_fn is not None and value_col is not None:
+        # a caller who passes both almost certainly believes value_col
+        # steers the custom summary — it would be silently ignored
+        raise ValueError(
+            "value_col is only for the default stat state; a custom "
+            "partial_fn selects its own columns — pass one or the other"
+        )
     if partial_fn is None:
         partial_fn = lambda b: partial_stat_state(b, value_col, level=level)
         merge_fn = merge_stat_states
@@ -126,6 +133,39 @@ def make_state_upserter(
     return upsert
 
 
+def stream_update_states(
+    stream: DataFrame,
+    state_table: str,
+    checkpoint: str,
+    partial_fn: Callable[[DataFrame], DataFrame],
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    query_name: str = "feature_store_update",
+    allow_stream_handover: bool = False,
+    keep_snapshots: int = 2,
+):
+    """Wire a streaming DataFrame into the state-table upserter for ANY
+    mergeable summary. Returns the (not-yet-started) DataStreamWriter so
+    the caller picks the trigger (availableNow for catch-up runs,
+    processingTime for always-on). The checkpoint location doubles as the
+    stream identity recorded in every state commit (see
+    make_state_upserter)."""
+    return (
+        stream.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .foreachBatch(
+            make_state_upserter(
+                state_table,
+                stream_key=checkpoint,
+                allow_stream_handover=allow_stream_handover,
+                keep_snapshots=keep_snapshots,
+                partial_fn=partial_fn,
+                merge_fn=merge_fn,
+            )
+        )
+    )
+
+
 def stream_update_stat_states(
     stream: DataFrame,
     state_table: str,
@@ -136,25 +176,17 @@ def stream_update_stat_states(
     allow_stream_handover: bool = False,
     keep_snapshots: int = 2,
 ):
-    """Wire a streaming DataFrame into the state-table upserter. Returns
-    the (not-yet-started) DataStreamWriter so the caller picks the
-    trigger (availableNow for catch-up runs, processingTime for always-on).
-    The checkpoint location doubles as the stream identity recorded in
-    every state commit (see make_state_upserter)."""
-    return (
-        stream.writeStream.queryName(query_name)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-        .foreachBatch(
-            make_state_upserter(
-                state_table,
-                value_col,
-                level=level,
-                stream_key=checkpoint,
-                allow_stream_handover=allow_stream_handover,
-                keep_snapshots=keep_snapshots,
-            )
-        )
+    """The (n, sum, sumsq, min, max) stat-state form of
+    ``stream_update_states``."""
+    return stream_update_states(
+        stream,
+        state_table,
+        checkpoint,
+        partial_fn=lambda b: partial_stat_state(b, value_col, level=level),
+        merge_fn=merge_stat_states,
+        query_name=query_name,
+        allow_stream_handover=allow_stream_handover,
+        keep_snapshots=keep_snapshots,
     )
 
 
@@ -182,18 +214,13 @@ def stream_update_histogram_states(
         merge_histogram_states,
     )
 
-    return (
-        stream.writeStream.queryName(query_name)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
-        .foreachBatch(
-            make_state_upserter(
-                state_table,
-                stream_key=checkpoint,
-                allow_stream_handover=allow_stream_handover,
-                keep_snapshots=keep_snapshots,
-                partial_fn=lambda b: histogram_state(b, value_col, spec, level=level),
-                merge_fn=merge_histogram_states,
-            )
-        )
+    return stream_update_states(
+        stream,
+        state_table,
+        checkpoint,
+        partial_fn=lambda b: histogram_state(b, value_col, spec, level=level),
+        merge_fn=merge_histogram_states,
+        query_name=query_name,
+        allow_stream_handover=allow_stream_handover,
+        keep_snapshots=keep_snapshots,
     )

@@ -220,3 +220,7 @@ def test_upserter_validates_custom_fns(spark):
         make_state_upserter("t", partial_fn=lambda b: b)  # merge_fn missing
     with pytest.raises(ValueError):
         make_state_upserter("t")  # neither value_col nor fns
+    with pytest.raises(ValueError):
+        make_state_upserter(  # value_col would be silently ignored
+            "t", value_col="v", partial_fn=lambda b: b, merge_fn=lambda a, b: a
+        )

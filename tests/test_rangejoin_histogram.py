@@ -199,3 +199,8 @@ def test_histogram_clamps_domain(spark):
         HistogramSpec(lo=5.0, hi=5.0)
     with pytest.raises(ValueError):
         HistogramSpec(lo=0.0, hi=1.0, log=True)
+
+
+def test_interval_join_rejects_submicro_granule(spark, pts, ivs):
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, granule_seconds=5e-7)
