@@ -12,10 +12,12 @@ broadcast), the stream side is enriched by an equi-join + JVM array filter
 append mode, and never shuffles the stream by key (skew-immune, the same
 property that makes the broadcast strategy the batch skew escape hatch).
 
-For two STREAMS (both sides unbounded) use Spark's native stream-stream
-interval join with watermarks instead; the as-of-latest semantics over an
-unbounded right side requires retraction and is out of scope (documented
-limitation, same as Flink's temporal join restrictions).
+For two STREAMS (both sides unbounded), ``stream_trailing_join`` provides
+the watermark-bounded interval form (every right event in the trailing
+lookback window — leakage-free, state bounded by the watermark). True
+as-of-LATEST semantics over an unbounded right side would require
+retraction and stays out of scope (documented limitation, same as Flink's
+temporal join restrictions).
 """
 
 from __future__ import annotations
@@ -57,3 +59,69 @@ def stream_asof_enrich(
         inclusive=inclusive,
         suffix=suffix,
     )
+
+
+def stream_trailing_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    lookback_seconds: float,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    strict: bool = False,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-STREAM trailing-window join: every left event is matched
+    with the right-stream events of the same key whose event time falls in
+    ``[left.ts - lookback, left.ts]`` (``strict=True`` excludes equality —
+    exactly-earlier rows only). The zero-temporal-leakage direction: a
+    right event later than the left event can never join.
+
+    This is Spark's native watermarked stream-stream inner join — the
+    time-range condition plus both watermarks let the engine bound its
+    join state: right rows older than (watermark - lookback) and left rows
+    older than the watermark are dropped from state, so state size is
+    O(rate x (watermark + lookback)) regardless of stream lifetime. That
+    is the 100 TB/day story: no unbounded buffering, no rescan.
+
+    Append output mode; inner join only (left-outer stream-stream joins
+    emit NULL matches at watermark expiry and delay results by the full
+    watermark — compose with a batch backfill instead if you need them).
+    Right columns (except the join keys) come back ``<col><suffix>``.
+
+    Reference analog: none — the reference is batch-only; this is the
+    always-on form of the engine's trailing-window features
+    (ops/windows.rolling_turn_features at event grain)."""
+    if not (left.isStreaming and right.isStreaming):
+        raise ValueError(
+            "both sides must be streaming; for stream-static use "
+            "stream_asof_enrich, for batch use ops.rangejoin/ops.asof"
+        )
+    if lookback_seconds <= 0:
+        raise ValueError("lookback_seconds must be > 0")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    from pyspark.sql import functions as F
+
+    r = right
+    for c in right.columns:
+        if c not in keys:
+            r = r.withColumnRenamed(c, f"{c}{suffix}")
+    rts = f"{right_ts}{suffix}" if right_ts not in keys else right_ts
+
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = r.withWatermark(rts, watermark)
+
+    upper = (
+        F.col(rts) < F.col(left_ts) if strict else F.col(rts) <= F.col(left_ts)
+    )
+    us = int(lookback_seconds * 1_000_000)
+    lower = F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {us} MICROSECONDS")
+    cond = upper & lower
+    for k in keys:
+        cond = cond & (l_wm[k] == r_wm[k])
+    joined = l_wm.join(r_wm, cond, "inner")
+    # drop the duplicate key columns from the right side
+    return joined.select(*[l_wm[c] for c in left.columns],
+                         *[r_wm[c] for c in r.columns if c not in keys])

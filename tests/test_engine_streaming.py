@@ -284,3 +284,68 @@ def test_stream_asof_enrich_matches_batch(spark, transcripts, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_trailing_join_matches_batch(spark, transcripts, tmp_path):
+    """Watermarked stream-stream trailing join == the equivalent batch
+    join, pair for pair: every (turn, earlier-right-event-within-lookback)
+    match of the same conv."""
+    from feature_extraction_spark.streaming.enrich import stream_trailing_join
+
+    left_b = transcripts.select("conv_id", "turn_idx", "ts")
+    right_b = (
+        transcripts.filter(F.col("turn_idx") % 5 == 0)
+        .select("conv_id", F.col("turn_idx").alias("ridx"), "ts")
+    )
+    lsrc, rsrc = str(tmp_path / "tj_l"), str(tmp_path / "tj_r")
+    left_b.write.parquet(lsrc)
+    right_b.write.parquet(rsrc)
+
+    LOOK = 120.0
+    out = stream_trailing_join(
+        spark.readStream.schema(left_b.schema).parquet(lsrc),
+        spark.readStream.schema(right_b.schema).parquet(rsrc),
+        on="conv_id",
+        lookback_seconds=LOOK,
+    )
+    out_path = str(tmp_path / "tj_out")
+    q = (
+        out.select("conv_id", "turn_idx", "ridx_r")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "tj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.conv_id, r.turn_idx, r.ridx_r)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    exp_df = left_b.alias("l").join(
+        right_b.alias("r"),
+        (F.col("l.conv_id") == F.col("r.conv_id"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 120 SECONDS")),
+        "inner",
+    ).select("l.conv_id", "l.turn_idx", F.col("r.ridx").alias("ridx_r"))
+    exp = {(r.conv_id, r.turn_idx, r.ridx_r) for r in exp_df.collect()}
+    assert got == exp and len(got) > 0
+
+    # leakage: no joined right event is later than its left event
+    chk = stream_trailing_join(
+        spark.readStream.schema(left_b.schema).parquet(lsrc),
+        spark.readStream.schema(right_b.schema).parquet(rsrc),
+        on="conv_id",
+        lookback_seconds=LOOK,
+        strict=True,
+    )
+    assert chk.isStreaming
+
+    # validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stream_trailing_join(left_b, right_b, on="conv_id", lookback_seconds=LOOK)
