@@ -224,3 +224,51 @@ def stream_update_histogram_states(
         allow_stream_handover=allow_stream_handover,
         keep_snapshots=keep_snapshots,
     )
+
+
+def stream_update_distinct_states(
+    stream: DataFrame,
+    state_table: str,
+    checkpoint: str,
+    value_col: str,
+    level: str = "conv",
+    lg_k: int = 12,
+    query_name: str = "feature_store_distinct_update",
+    allow_stream_handover: bool = False,
+    keep_snapshots: int = 2,
+):
+    """Maintain per-entity DISTINCT-COUNT state as mergeable DataSketches
+    HLL sketches (the third summary type through the generic upserter):
+    each micro-batch sketches its own rows (one hash aggregation), the
+    merge is ``hll_union_agg`` over |entities| kilobyte sketches — the
+    stream's full history is never rescanned and never stored. Read any
+    snapshot with ``hll_sketch_estimate(sketch)`` (or
+    ops/sketches.merge_vocab_sketches for coarser grains)."""
+    from pyspark.sql import functions as F
+
+    from feature_extraction_spark.ops.levels import keys_for
+
+    keys = keys_for(level)
+
+    def partial(b: DataFrame) -> DataFrame:
+        return b.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+        )
+
+    def merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(delta)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+
+    return stream_update_states(
+        stream,
+        state_table,
+        checkpoint,
+        partial_fn=partial,
+        merge_fn=merge,
+        query_name=query_name,
+        allow_stream_handover=allow_stream_handover,
+        keep_snapshots=keep_snapshots,
+    )

@@ -224,3 +224,43 @@ def test_upserter_validates_custom_fns(spark):
         make_state_upserter(  # value_col would be silently ignored
             "t", value_col="v", partial_fn=lambda b: b, merge_fn=lambda a, b: a
         )
+
+
+def test_stream_distinct_state_matches_batch(spark, transcripts, tmp_path):
+    """HLL sketch maintenance through the generic upserter: two catch-up
+    runs, snapshot estimate == one whole-data sketch estimate exactly
+    (the union of shard sketches IS the whole-data sketch)."""
+    from feature_extraction_spark.streaming.feature_store import (
+        stream_update_distinct_states,
+    )
+
+    src = str(tmp_path / "dsrc")
+    state = str(tmp_path / "dstate")
+    ckpt = str(tmp_path / "dckpt")
+    t = transcripts.select("conv_id", "turn_idx", "ts", "text")
+    t.filter(F.col("turn_idx") % 2 == 0).write.mode("append").parquet(src)
+
+    def run_catchup():
+        q = (
+            stream_update_distinct_states(
+                spark.readStream.schema(t.schema).parquet(src),
+                state, ckpt, value_col="text", level="conv",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_catchup()
+    t.filter(F.col("turn_idx") % 2 == 1).write.mode("append").parquet(src)
+    run_catchup()
+
+    got = read_snapshot(spark, state).select(
+        "conv_id", F.expr("hll_sketch_estimate(sketch)").alias("est")
+    )
+    whole = t.groupBy("conv_id").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(text, 12))").alias("est")
+    )
+    g = {r.conv_id: r.est for r in got.collect()}
+    w = {r.conv_id: r.est for r in whole.collect()}
+    assert g == w and len(g) > 0
