@@ -204,3 +204,26 @@ def test_histogram_clamps_domain(spark):
 def test_interval_join_rejects_submicro_granule(spark, pts, ivs):
     with pytest.raises(ValueError):
         interval_join(pts, ivs, granule_seconds=5e-7)
+
+
+def test_interval_join_pre_epoch_timestamps(spark):
+    """Negative unix micros: `div` truncates toward zero (not floor), which
+    is still monotonic — containment must survive granule ids around 0."""
+    pts = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(range(-3600, 3600, 97))],
+        "pid long, sec double",
+    ).select("pid", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    ivs = spark.createDataFrame(
+        [(0, -3000.0, -20.0), (1, -100.0, 150.0), (2, 30.0, 3500.0)],
+        "iv_id long, s double, e double",
+    ).select(
+        "iv_id",
+        F.timestamp_seconds(F.col("s")).alias("start"),
+        F.timestamp_seconds(F.col("e")).alias("end"),
+    )
+    got = {(r.pid, r.iv_id) for r in
+           interval_join(pts, ivs, granule_seconds=60.0).collect()}
+    p, v = pts.toPandas(), ivs.toPandas()
+    exp = {(a.pid, b.iv_id) for a in p.itertuples() for b in v.itertuples()
+           if b.start <= a.ts < b.end}
+    assert got == exp and len(exp) > 0
