@@ -199,6 +199,7 @@ def stratified_sample_exact(
     key_cols: str | list[str],
     salt: str = "",
     tiebreak_cols: str | list[str] | None = None,
+    assert_unique_keys: bool = False,
 ) -> DataFrame:
     """EXACTLY ``n_per_stratum`` rows from every stratum (fewer if the
     stratum is smaller) — the distributed equivalent of per-stratum
@@ -232,11 +233,35 @@ def stratified_sample_exact(
     unique-keys contract is the same one ``hash_split``/``hash_sample``
     already rely on (an entity hash presumes the keys NAME an entity);
     callers sampling at a coarser grain than their rows must opt in to a
-    tiebreak or accept arrival-order picks among within-entity rows."""
+    tiebreak or accept arrival-order picks among within-entity rows.
+    ``assert_unique_keys=True`` verifies that contract up front (one extra
+    aggregation job over (strata + keys) — debug tool, not a hot-path
+    default) and raises if any (stratum, key) repeats without a tiebreak.
+
+    Behavior change vs earlier revisions: the draw was once always
+    whole-row tie-broken; it now relies on the unique-keys contract by
+    default (parquet column pruning), so duplicate-key callers must pass
+    ``tiebreak_cols`` to keep fully deterministic picks."""
     from pyspark.sql import Window
 
     if n_per_stratum < 1:
         raise ValueError("n_per_stratum must be >= 1")
+    if assert_unique_keys and tiebreak_cols is None:
+        strata_k = [strata_col] if isinstance(strata_col, str) else list(strata_col)
+        keys_k = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        dup = (
+            df.groupBy(*strata_k, *keys_k)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "stratified_sample_exact: key_cols are not unique within a "
+                f"stratum (e.g. {dup[0].asDict()}); pass tiebreak_cols for "
+                "a deterministic draw"
+            )
     strata = [strata_col] if isinstance(strata_col, str) else list(strata_col)
     h = _entity_hash(key_cols, salt)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)

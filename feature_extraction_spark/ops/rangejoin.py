@@ -52,6 +52,7 @@ def interval_join(
     end_col: str = "end",
     how: str = "inner",
     end_inclusive: bool = False,
+    assert_valid: bool = False,
 ) -> DataFrame:
     """Join each point row to every interval row whose
     [start, end) (or [start, end] with ``end_inclusive``) contains
@@ -66,6 +67,15 @@ def interval_join(
 
     Columns: all point columns + the interval's non-key columns. Interval
     column names colliding with point columns get an ``_iv`` suffix.
+
+    Malformed intervals: rows with NULL start or end produce no granules
+    (``sequence`` of a NULL bound is NULL, ``explode`` drops it) and are
+    silently absent from the output; inverted intervals (end < start)
+    explode via Spark's DESCENDING ``sequence`` into granules that the
+    residual within-predicate then discards — no wrong rows, but wasted
+    fan-out. Pass ``assert_valid=True`` to fail the job on the first
+    inverted interval instead (NULL bounds stay drop-not-error: an open
+    interval table routinely carries them).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
@@ -95,6 +105,19 @@ def interval_join(
         iv = iv.withColumnRenamed(old, new)
     s_col = renames.get(start_col, start_col)
     e_col = renames.get(end_col, end_col)
+
+    if assert_valid:
+        iv = iv.withColumn(
+            s_col,
+            F.when(
+                F.col(e_col) < F.col(s_col),
+                F.raise_error(F.concat(
+                    F.lit("interval_join: inverted interval (end < start): "),
+                    F.col(s_col).cast("string"), F.lit(" > "),
+                    F.col(e_col).cast("string"),
+                )).cast(iv.schema[s_col].dataType),
+            ).otherwise(F.col(s_col)),
+        )
 
     iv_gran = iv.withColumn(
         "_gran", F.explode(F.sequence(gran(s_col), gran(e_col)))

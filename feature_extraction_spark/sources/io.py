@@ -98,13 +98,39 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        splits = 0
+        # Bulk probe: ONE listStatus RPC per distinct parent directory
+        # instead of one getFileStatus per file — on an object store with
+        # thousands of small files a per-file loop is a serial RPC chain
+        # on the driver before the job even starts.
+        def _norm(uri: str) -> str:
+            # URI renderings differ between inputFiles() ("file:///x") and
+            # Path.toString() ("file:/x"); compare scheme-stripped paths.
+            if "://" in uri:
+                uri = uri.split("://", 1)[1]
+                uri = uri[uri.index("/"):] if "/" in uri else uri
+            elif ":" in uri.split("/", 1)[0]:
+                uri = uri.split(":", 1)[1]
+            return uri
+        wanted = {_norm(f) for f in files}
+        parents: list[str] = []
+        seen = set()
         for f in files:
-            jpath = jvm.org.apache.hadoop.fs.Path(f)
-            size = jpath.getFileSystem(conf).getFileStatus(jpath).getLen()
-            splits += max(1, -(-int(size) // max_bytes))
-            if splits >= target:
-                return df
+            p = f.rsplit("/", 1)[0]
+            if p not in seen:
+                seen.add(p)
+                parents.append(p)
+        splits = 0
+        for parent in parents:
+            jparent = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = jparent.getFileSystem(conf)
+            for st in fs.listStatus(jparent):
+                if not st.isFile():
+                    continue
+                if _norm(st.getPath().toString()) not in wanted:
+                    continue
+                splits += max(1, -(-int(st.getLen()) // max_bytes))
+                if splits >= target:
+                    return df
     except Exception:
         pass  # metadata unavailable -> assume under-split
     return df.repartition(target)

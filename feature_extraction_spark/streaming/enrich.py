@@ -107,17 +107,28 @@ def stream_trailing_join(
     r = right
     for c in right.columns:
         if c not in keys:
-            r = r.withColumnRenamed(c, f"{c}{suffix}")
+            new = f"{c}{suffix}"
+            # a suffixed name that collides with another right column or a
+            # left column makes every later reference ambiguous — fail at
+            # construction, not at analysis inside the streaming query
+            if new in right.columns or new in left.columns:
+                raise ValueError(
+                    f"suffixed right column {new!r} collides with an "
+                    f"existing column; pass a different suffix"
+                )
+            r = r.withColumnRenamed(c, new)
     rts = f"{right_ts}{suffix}" if right_ts not in keys else right_ts
 
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = r.withWatermark(rts, watermark)
 
-    upper = (
-        F.col(rts) < F.col(left_ts) if strict else F.col(rts) <= F.col(left_ts)
-    )
+    # dataframe-qualified time refs: unqualified F.col(rts) is ambiguous
+    # when the left stream already carries a column named like the
+    # suffixed right ts
+    rcol, lcol = r_wm[rts], l_wm[left_ts]
+    upper = rcol < lcol if strict else rcol <= lcol
     us = int(lookback_seconds * 1_000_000)
-    lower = F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {us} MICROSECONDS")
+    lower = rcol >= lcol - F.expr(f"INTERVAL {us} MICROSECONDS")
     cond = upper & lower
     for k in keys:
         cond = cond & (l_wm[k] == r_wm[k])

@@ -88,6 +88,13 @@ def make_state_upserter(
             "value_col is only for the default stat state; a custom "
             "partial_fn selects its own columns — pass one or the other"
         )
+    if partial_fn is not None and level != "conv":
+        # same trap as value_col: level only parameterizes the DEFAULT
+        # stat state, a custom partial_fn picks its own grouping
+        raise ValueError(
+            "level applies only to the default stat state; a custom "
+            "partial_fn defines its own grain — drop the level argument"
+        )
     if partial_fn is None:
         partial_fn = lambda b: partial_stat_state(b, value_col, level=level)
         merge_fn = merge_stat_states

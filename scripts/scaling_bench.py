@@ -24,14 +24,32 @@ CHILD = r"""
 import json, os, sys, time
 cores = int(sys.argv[1]); tpath = sys.argv[2]
 sys.path.insert(0, "@REPO@")
+
+# Pin this level to EXACTLY its core budget (inherited by the JVM child).
+# Without pinning, local[N] only caps task slots: the JVM still sees all
+# host cores and runs GC / Netty shuffle / codegen / parquet IO threads on
+# them, so the small level borrows cores a real N-executor cluster would
+# not have — deflating T_N and the measured efficiency. Pinning makes
+# local[N] mean "N cores of hardware", which is what the N-vs-4N cluster
+# criterion compares. Disable with FES_PIN=0 to reproduce the old numbers.
+if os.environ.get("FES_PIN", "1") != "0":
+    os.sched_setaffinity(0, set(range(cores)))
+
 from feature_extraction_spark.session import get_spark
 from bench import flagship_pipeline
 # Memory scales with the cluster-size proxy: an N-executor cluster brings
 # M total memory, a 4N cluster brings 4M. A fixed heap would starve the
 # 32-thread level (same heap / 4x concurrent tasks -> spills + GC) and
 # measure memory pressure, not scaling.
-spark = get_spark("scaling", cores=cores, shuffle_partitions=cores * 2,
-                  extra_conf={"spark.driver.memory": f"{int(cores * 1.5)}g"})
+# Shuffle partitions are FIXED across levels (a real job's
+# spark.sql.shuffle.partitions does not change with cluster size): the
+# shuffle layout and per-partition work are then identical at both levels
+# and ONLY the number of concurrent slots differs.
+parts = int(os.environ.get("FES_SHUFFLE_PARTITIONS", "64"))
+spark = get_spark("scaling", cores=cores, shuffle_partitions=parts,
+                  extra_conf={"spark.driver.memory": f"{int(cores * 1.5)}g",
+                              "spark.ui.enabled": "true",
+                              "spark.ui.port": "0"})
 t = spark.read.parquet(tpath)
 n_turns = t.count()
 out = flagship_pipeline(t)
@@ -45,9 +63,46 @@ def force(df):
 force(out)
 force(out)
 force(out)
+sc = spark.sparkContext
+sc.setJobGroup("timed", "timed scaling pass")
 t0 = time.monotonic()
 force(out)
 wall = time.monotonic() - t0
+sc.setJobGroup("untimed", "post-run")
+
+# Per-stage attribution of the timed pass via the UI REST API: which
+# stages fail to scale (executorRunTime vs wall), and whether spill /
+# shuffle volume differs between levels.
+stage_rows = []
+try:
+    import urllib.request
+    base = sc.uiWebUrl + "/api/v1/applications/" + sc.applicationId
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=30) as r:
+            return json.loads(r.read())
+    timed_stages = set()
+    for job in get("/jobs"):
+        if job.get("jobGroup") == "timed":
+            timed_stages.update(job.get("stageIds", []))
+    for st in get("/stages?status=COMPLETE"):
+        if st["stageId"] not in timed_stages:
+            continue
+        stage_rows.append({
+            "stage": st["stageId"],
+            "name": st["name"].split("\n")[0][:90],
+            "tasks": st["numCompleteTasks"],
+            "run_ms": st["executorRunTime"],
+            "cpu_ms": int(st.get("executorCpuTime", 0) / 1e6),
+            "input_mb": round(st.get("inputBytes", 0) / 2**20, 1),
+            "sh_read_mb": round(st.get("shuffleReadBytes", 0) / 2**20, 1),
+            "sh_write_mb": round(st.get("shuffleWriteBytes", 0) / 2**20, 1),
+            "spill_mem_mb": round(st.get("memoryBytesSpilled", 0) / 2**20, 1),
+            "spill_disk_mb": round(st.get("diskBytesSpilled", 0) / 2**20, 1),
+        })
+    stage_rows.sort(key=lambda r: -r["run_ms"])
+except Exception as e:
+    stage_rows = [{"error": str(e)[:200]}]
+
 import pyspark.sql.functions as F
 # content hash + count in one action: order-insensitive sum of row hashes.
 # Double columns are rounded to 6 decimals first: float partial-aggregation
@@ -66,7 +121,10 @@ agg = out.select(
 ).collect()[0]
 print(json.dumps({"cores": cores, "wall_s": wall, "rows": int(agg["n"]),
                   "hash": int(agg["h"]), "n_turns": n_turns,
-                  "turns_per_sec": n_turns / wall}))
+                  "turns_per_sec": n_turns / wall,
+                  "pinned": os.environ.get("FES_PIN", "1") != "0",
+                  "shuffle_partitions": parts,
+                  "stages": stage_rows[:12]}))
 """
 
 
@@ -123,6 +181,10 @@ def main() -> None:
     eff = (r8["wall_s"] / r32["wall_s"]) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    stages8 = r8.pop("stages", [])
+    stages32 = r32.pop("stages", [])
+    for r in runs8 + runs32:
+        r.pop("stages", None)
     result = {
         "n_turns": r8["n_turns"],
         "local8": r8,
@@ -131,9 +193,16 @@ def main() -> None:
         "output_hash_identical": True,
         "seed": seed,
         "n_convs": n_convs,
-        "protocol": f"min-of-{reps} alternating reps per level (shared host)",
+        "protocol": (
+            f"min-of-{reps} alternating reps per level (shared host); "
+            f"each level CPU-pinned to its core budget "
+            f"(pinned={r8.get('pinned')}); shuffle partitions fixed at "
+            f"{r8.get('shuffle_partitions')} across levels"
+        ),
         "all_walls_8": [round(r["wall_s"], 2) for r in runs8],
         "all_walls_32": [round(r["wall_s"], 2) for r in runs32],
+        "stages_8": stages8,
+        "stages_32": stages32,
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)

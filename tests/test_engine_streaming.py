@@ -349,3 +349,30 @@ def test_stream_trailing_join_matches_batch(spark, transcripts, tmp_path):
 
     with _pt.raises(ValueError):
         stream_trailing_join(left_b, right_b, on="conv_id", lookback_seconds=LOOK)
+
+
+def test_stream_trailing_join_suffix_collision_raises(spark, transcripts, tmp_path):
+    """A left column named like the suffixed right ts used to make the
+    time condition ambiguous at analysis; now it fails fast at
+    construction with a clear message."""
+    from feature_extraction_spark.streaming.enrich import stream_trailing_join
+
+    left_b = transcripts.select(
+        "conv_id", "turn_idx", "ts", F.col("ts").alias("ts_r")
+    )
+    right_b = transcripts.select("conv_id", "ts")
+    lsrc, rsrc = str(tmp_path / "col_l"), str(tmp_path / "col_r")
+    left_b.write.parquet(lsrc)
+    right_b.write.parquet(rsrc)
+    ls = spark.readStream.schema(left_b.schema).parquet(lsrc)
+    rs = spark.readStream.schema(right_b.schema).parquet(rsrc)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collides"):
+        stream_trailing_join(ls, rs, on="conv_id", lookback_seconds=60.0)
+    # a non-colliding suffix works: plan constructs, qualified time refs
+    out = stream_trailing_join(
+        ls, rs, on="conv_id", lookback_seconds=60.0, suffix="_rhs"
+    )
+    assert out.isStreaming and "ts_rhs" in out.columns

@@ -224,6 +224,10 @@ def test_upserter_validates_custom_fns(spark):
         make_state_upserter(  # value_col would be silently ignored
             "t", value_col="v", partial_fn=lambda b: b, merge_fn=lambda a, b: a
         )
+    with pytest.raises(ValueError, match="level"):
+        make_state_upserter(  # level would be silently ignored too
+            "t", level="day", partial_fn=lambda b: b, merge_fn=lambda a, b: a
+        )
 
 
 def test_stream_distinct_state_matches_batch(spark, transcripts, tmp_path):

@@ -117,6 +117,40 @@ def test_interval_join_validates(spark, pts, ivs):
         interval_join(pts, ivs, granule_seconds=60.0, how="full")
 
 
+def test_interval_join_assert_valid_raises_on_inverted(spark, pts):
+    bad = spark.createDataFrame(
+        [(1, "a", 500.0, 100.0)], "iv_id long, k string, s double, e double"
+    ).select(
+        "iv_id", "k",
+        F.timestamp_seconds("s").alias("start"),
+        F.timestamp_seconds("e").alias("end"),
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="inverted interval"):
+        interval_join(pts, bad, granule_seconds=60.0, on="k",
+                      assert_valid=True).collect()
+    # same data without the flag: silently no matches outside the
+    # (empty) residual window — zero rows, zero error
+    assert interval_join(pts, bad, granule_seconds=60.0, on="k").count() == 0
+
+
+def test_interval_join_null_bounds_dropped(spark, pts):
+    ivs = spark.createDataFrame(
+        [(1, "a", None, 100.0), (2, "a", 0.0, None), (3, "a", 0.0, 1000.0)],
+        "iv_id long, k string, s double, e double",
+    ).select(
+        "iv_id", "k",
+        F.timestamp_seconds("s").alias("start"),
+        F.timestamp_seconds("e").alias("end"),
+    )
+    got = interval_join(pts, ivs, granule_seconds=60.0, on="k")
+    # only the well-formed interval matches; NULL-bounded rows are dropped
+    assert {r.iv_id for r in got.select("iv_id").distinct().collect()} == {3}
+
+
 # ---------------------------------------------------------------------------
 # histogram quantile state
 # ---------------------------------------------------------------------------

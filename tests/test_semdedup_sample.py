@@ -92,6 +92,32 @@ def test_stratified_exact_validates(spark):
         stratified_sample_exact(df, "stratum", 0, key_cols="id")
 
 
+def test_stratified_exact_assert_unique_keys(spark):
+    uniq = spark.createDataFrame(
+        [(i, "s") for i in range(10)], "id long, stratum string"
+    )
+    # unique keys: the assertion passes and the draw proceeds
+    got = stratified_sample_exact(
+        uniq, "stratum", 3, key_cols="id", assert_unique_keys=True
+    )
+    assert got.count() == 3
+
+    dup = spark.createDataFrame(
+        [(i % 3, "s") for i in range(9)], "id long, stratum string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        stratified_sample_exact(
+            dup, "stratum", 2, key_cols="id", assert_unique_keys=True
+        )
+    # with a tiebreak the contract is satisfied differently; the assertion
+    # is skipped by design
+    ok = stratified_sample_exact(
+        dup, "stratum", 2, key_cols="id",
+        tiebreak_cols="row", assert_unique_keys=True,
+    )
+    assert ok.count() == 2
+
+
 def test_stratified_exact_duplicate_keys_tiebreak(spark):
     # key_cols NOT unique: 10 ids x 3 copies with distinct payloads.
     rows = [(i, "s", f"payload-{i}-{j}") for i in range(10) for j in range(3)]

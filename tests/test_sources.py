@@ -244,3 +244,25 @@ def test_hypothesis_dir_names_with_spaces(spark, tmp_path):
     row = read_hypothesis_dirs(spark, str(tmp_path / "hyps" / "*" / "*")).collect()[0]
     assert row["call_id"] == "call 01"
     assert row["hypothesis_id"] == "hyp a.txt"
+
+
+def test_ensure_parallelism_bulk_probe(spark, tmp_path):
+    from feature_extraction_spark.sources.io import ensure_parallelism
+
+    # one small file, under-split vs target -> repartitioned up
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    df = spark.read.parquet(one)
+    assert len(df.inputFiles()) == 1
+    up = ensure_parallelism(df, min_partitions=8)
+    assert up.rdd.getNumPartitions() == 8
+    assert up.count() == 1000
+
+    # already >= one file per requested split -> untouched plan (no
+    # Repartition node), metadata probed via ONE listStatus of the dir
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(8).write.parquet(many)
+    df2 = spark.read.parquet(many)
+    assert len(df2.inputFiles()) >= 8
+    same = ensure_parallelism(df2, min_partitions=4)
+    assert same is df2
