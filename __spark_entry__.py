@@ -768,6 +768,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "n_bytes", *lanes)
 
 
+def q_bmp_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path: a deterministic 24-bit BMP table (encoder:
+    ops/multimodal.encode_bmp — bottom-up rows, 4-byte padding, BGR) is
+    decoded pixel-for-pixel in an Arrow-batched mapInPandas kernel
+    (decode_bmp, pure numpy) and reduced to dimension + channel-mean
+    stats. The DuckDB oracle re-derives the means from the synthetic
+    pixel formula alone, so a value match proves both halves of the codec
+    round-trip actual pixels (vs the sha256 stub of multimodal_features)."""
+    from feature_extraction_spark.ops.multimodal import (
+        extract_bmp_stats,
+        synth_media_bmp,
+    )
+
+    media = synth_media_bmp(spark, n=100)
+    return extract_bmp_stats(media).select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
 def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> connected components -> total doc_id->cluster_id mapping
     (alternating large-star/small-star; cluster_id = min member id;
@@ -1186,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilevel_events": q_multilevel_events,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "bmp_stats_media": q_bmp_stats_media,
         "hypothesis_mean_docs": q_hypothesis_mean_docs,
         "timing_stats_events": q_timing_stats_events,
         "conf_stats_events": q_conf_stats_events,
@@ -2568,6 +2592,35 @@ LIMIT 25
         # cosine_topk. Pruned-nprobe recall stays pytest-covered.
         "ivf_topk": cosine_topk,
         "multimodal_features": _multimodal_sql(),
+        # real BMP codec round-trip: the oracle re-derives the channel
+        # means and byte size from the synthetic pixel formula + BMP
+        # layout arithmetic alone (never parses bytes) — a match proves
+        # encode_bmp and decode_bmp moved actual pixels. One exact
+        # integer-sum division per mean (sum::DOUBLE / count) matches the
+        # kernel's numpy int64-sum division bit for bit.
+        "bmp_stats_media": """
+WITH m AS (
+  SELECT t.range AS media_id,
+         8 + t.range % 9 AS w,
+         8 + (t.range * 3) % 9 AS h
+  FROM range(100) t
+), px AS (
+  SELECT m.media_id, m.w, m.h, y.range AS y, x.range AS x
+  FROM m
+  CROSS JOIN range(17) y
+  CROSS JOIN range(17) x
+  WHERE y.range < m.h AND x.range < m.w
+)
+SELECT media_id,
+  (54 + max(h) * (((max(w) * 3 + 3) // 4) * 4))::BIGINT AS n_bytes,
+  max(w)::INT AS width,
+  max(h)::INT AS height,
+  sum((media_id * 31 + y * 17 + x * 5 + 22) % 256)::DOUBLE / count(*) AS mean_r,
+  sum((media_id * 31 + y * 17 + x * 5 + 11) % 256)::DOUBLE / count(*) AS mean_g,
+  sum((media_id * 31 + y * 17 + x * 5) % 256)::DOUBLE / count(*) AS mean_b
+FROM px
+GROUP BY media_id
+""",
         # granule-decomposed range join == plain BETWEEN join
         "interval_join_events": """
 SELECT p.event_id, p.user_id, i.iv_id

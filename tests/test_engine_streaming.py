@@ -376,3 +376,71 @@ def test_stream_trailing_join_suffix_collision_raises(spark, transcripts, tmp_pa
         ls, rs, on="conv_id", lookback_seconds=60.0, suffix="_rhs"
     )
     assert out.isStreaming and "ts_rhs" in out.columns
+
+
+def test_bmp_codec_roundtrip_and_validation():
+    import numpy as np
+
+    from feature_extraction_spark.ops.multimodal import (
+        _synth_pixels_bgr,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # roundtrip across widths that do and don't need row padding
+    for mid, (w, h) in enumerate([(8, 8), (9, 11), (15, 16), (16, 9)]):
+        px = _synth_pixels_bgr(mid * 7 + 1, w, h)
+        blob = encode_bmp(px)
+        stride = (w * 3 + 3) // 4 * 4
+        assert len(blob) == 54 + h * stride
+        back = decode_bmp(blob)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+
+    # top-down variant (negative height) decodes to the same pixels
+    px = _synth_pixels_bgr(3, 9, 5)
+    blob = bytearray(encode_bmp(px))
+    import struct as _s
+
+    _s.pack_into("<i", blob, 22, -5)  # height := -h (top-down)
+    rows = np.frombuffer(bytes(blob[54:]), dtype=np.uint8).reshape(5, 28)
+    flipped = rows[::-1].tobytes()
+    blob[54:] = flipped
+    assert (decode_bmp(bytes(blob)) == px).all()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + bytes(100))
+    with _pt.raises(ValueError, match="short"):
+        decode_bmp(b"BM")
+    with _pt.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(px)[:-4])
+    with _pt.raises(ValueError, match="24-bit"):
+        bad = bytearray(encode_bmp(px))
+        _s.pack_into("<H", bad, 28, 8)  # bpp := 8
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_stats_distributed_matches_numpy(spark):
+    import numpy as np
+
+    from feature_extraction_spark.ops.multimodal import (
+        _synth_pixels_bgr,
+        extract_bmp_stats,
+        synth_media_bmp,
+    )
+
+    media = synth_media_bmp(spark, n=30)
+    got = {r.media_id: r for r in extract_bmp_stats(media).collect()}
+    assert len(got) == 30
+    for mid in range(30):
+        w, h = 8 + mid % 9, 8 + (mid * 3) % 9
+        px = _synth_pixels_bgr(mid, w, h).astype(np.int64)
+        r = got[mid]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_bytes == 54 + h * ((w * 3 + 3) // 4 * 4)
+        # exact: same integer sum, same single division
+        assert r.mean_b == px[:, :, 0].sum() / (w * h)
+        assert r.mean_g == px[:, :, 1].sum() / (w * h)
+        assert r.mean_r == px[:, :, 2].sum() / (w * h)
