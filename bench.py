@@ -140,6 +140,35 @@ def main() -> None:
         timings[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # ---- tier 2: corpus ops at sf1 (10x documents) ----------------------
+    # At sf0.1 most corpus queries are sub-second and compile/constant-
+    # overhead dominated; regressions hide below noise. Tier 2 re-times
+    # the expensive corpus operators over a 50k-doc synthetic documents
+    # table (synth_documents: same schema, planted near/exact dups) so the
+    # sf0.01 -> sf0.1 -> sf1 curve is on record. Generated once into /tmp
+    # and reused; enabled at sf0.1 (the driver's config) or via
+    # SPARK_GRAFT_TIER2=1, disabled with SPARK_GRAFT_TIER2=0.
+    tier2_env = os.environ.get("SPARK_GRAFT_TIER2")
+    run_tier2 = tier2_env == "1" or (tier2_env != "0" and sf == "sf0.1")
+    timings_sf1: dict[str, float] = {}
+    if run_tier2:
+        from feature_extraction_spark.synth import synth_documents
+
+        docs_dir = "/tmp/spark_graft_bench/docs_sf1_seed7"
+        if not os.path.exists(os.path.join(docs_dir, "documents.parquet", "_SUCCESS")):
+            synth_documents(spark, n_docs=50_000, seed=7).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(docs_dir, "documents.parquet"))
+        tier2 = [
+            "exact_dedup_docs", "jaccard_pairs_docs", "minhash_pairs_docs",
+            "gopher_docs", "lm_ppl_docs", "dup_spans_docs",
+            "dedup_clusters_docs",
+        ]
+        for name in tier2:
+            mk = lambda name=name: queries[name](spark, docs_dir)
+            timings_sf1[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
+            print(f"sf1/{name}: {timings_sf1[name]:.3f}s", file=sys.stderr)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -148,6 +177,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_sf1": timings_sf1,
+                "sf1_docs": 50_000 if timings_sf1 else 0,
                 "sf": sf,
                 "n_turns": n_turns,
                 "pipeline_rows": out_rows,

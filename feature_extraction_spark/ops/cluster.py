@@ -25,10 +25,12 @@ Scale shape (100 TB story):
   graphs are near-cliques: the first large-star collapses most of them);
 - a giant component's root is a hot groupBy key, but `min` partial-aggregates
   on the map side, so the hot key reduces |partitions| rows, not |edges|;
-- per-round `localCheckpoint` truncates the iterative lineage (otherwise
-  the plan doubles every round). On a production cluster swap in
-  `checkpoint()`/a parquet round-trip for fault tolerance — localCheckpoint
-  trades executor-loss recovery for speed, the right default in local mode.
+- per-round materialization truncates the iterative lineage (otherwise
+  the plan doubles every round). Default `localCheckpoint` trades
+  executor-loss recovery for speed (right in local mode); pass
+  `checkpoint_dir` to commit rounds to reliable-storage snapshot tables
+  instead (sources/snapshots.py) — executor death costs a parquet
+  re-scan and clustering is resumable from the last committed round.
 
 Reference parity note: the reference has no distributed dedup at all (its
 nearest analog is per-file pandas drop_duplicates); this operator exists for
@@ -112,6 +114,7 @@ def connected_components(
     dst: str = "id_b",
     max_rounds: int = 50,
     driver_threshold: int | None = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve the undirected graph given as an edge list into components.
 
@@ -135,6 +138,14 @@ def connected_components(
       ``max_rounds`` (the alternation provably converges in O(log^2 n);
       hitting the guard means the input violates the contract, e.g. NaN
       ids). Both paths produce identical labels (tested).
+
+    ``checkpoint_dir``: per-round materialization defaults to
+    ``localCheckpoint`` (fast; blocks pinned to executors, NOT
+    recomputable on executor loss). With a directory, the cleaned edge
+    set and each round commit to snapshot tables on reliable storage
+    instead (sources/snapshots.py) — executor death costs a parquet
+    re-scan, superseded rounds are expired, and a killed job can resume
+    clustering from the last committed round's edges.
     """
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -168,8 +179,12 @@ def connected_components(
     # checkpoint the CLEANED edge set once; everything downstream — the
     # star rounds AND the final nodes/join — derives from the materialized
     # blocks, so the pairs lineage (often a whole LSH candidate pipeline)
-    # never executes a second time.
-    e = e.localCheckpoint(eager=True)
+    # never executes a second time. The edge table and the round table are
+    # SEPARATE snapshot names: the final join still reads the edges after
+    # many round commits, so round retention must never expire them.
+    from ..sources.snapshots import materialize
+
+    e = materialize(e, checkpoint_dir, name="cc_edges")
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))
@@ -181,11 +196,14 @@ def connected_components(
         return nodes.withColumn("component", F.col("id"))
 
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = materialize(
+            _small_star(_large_star(cur)), checkpoint_dir, name="cc_rounds"
+        )
         nsig = _sig(nxt)
-        if cur is not e:
+        if cur is not e and checkpoint_dir is None:
             # never unpersist e itself: localCheckpoint blocks are not
             # recomputable and the final nodes/join still reads them
+            # (snapshot rounds need no unpersist — retention expires them)
             cur.unpersist()
         cur = nxt
         if nsig == sig:
@@ -210,13 +228,14 @@ def neardup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Total mapping ``(id_col, cluster_id)`` over ALL rows of ``df``:
     documents connected through ``pairs`` share the minimum member id as
     ``cluster_id``; documents in no pair are their own singleton cluster."""
-    comp = connected_components(pairs, src=src, dst=dst).withColumnsRenamed(
-        {"id": id_col, "component": "cluster_id"}
-    )
+    comp = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    ).withColumnsRenamed({"id": id_col, "component": "cluster_id"})
     return (
         df.select(id_col)
         .join(comp, id_col, "left")

@@ -267,6 +267,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over shingles; returns
@@ -276,12 +277,19 @@ def minhash_lsh_dedup(
     pair (left-semi prune): the corpus-wide shingle pass happens once, in
     the signature stage — at scale the candidate set is orders of magnitude
     smaller than the corpus, and AQE turns the semi-join into a broadcast
-    when the id list is small. The candidate set is materialized once
-    (localCheckpoint) — it feeds both the id prune and the final join, and
-    its lineage contains the whole signature pipeline."""
+    when the id list is small. The candidate set is materialized once —
+    it feeds both the id prune and the final join, and its lineage
+    contains the whole signature pipeline. Default materialization is
+    ``localCheckpoint`` (fast; executor-pinned, non-recomputable on
+    executor loss); pass ``checkpoint_dir`` to commit the candidate set to
+    a snapshot table on reliable storage instead — on a long cluster run
+    an executor death then costs a re-scan of committed parquet, not a
+    replay of the whole signature pipeline (sources/snapshots.py)."""
+    from ..sources.snapshots import materialize
+
     n = lsh_kwargs.get("shingle_n", 3)
     cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
-    cands = cands.localCheckpoint(eager=True)
+    cands = materialize(cands, checkpoint_dir, name="minhash_candidates")
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
@@ -407,6 +415,7 @@ def simhash_neardup_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate-generation + verification near-dup pipeline with SimHash as
     the candidate stage: pairs within ``max_hamming`` bits (pigeonhole chunk
@@ -431,7 +440,11 @@ def simhash_neardup_pairs(
         "id_a", "id_b"
     )
     # materialize once: feeds both the id prune and the final join
-    cands = cands.localCheckpoint(eager=True)
+    # (checkpoint_dir routes to a reliable-storage snapshot table, see
+    # minhash_lsh_dedup)
+    from ..sources.snapshots import materialize
+
+    cands = materialize(cands, checkpoint_dir, name="simhash_candidates")
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))

@@ -290,3 +290,31 @@ def expire_snapshots(
             )
             fs.delete(jdir, True)
     return {"expired": expired, "kept": kept, "deleted_bytes": deleted_bytes}
+
+
+def materialize(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    name: str = "materialized",
+    keep_last: int = 2,
+) -> DataFrame:
+    """Materialize ``df`` once and truncate its lineage.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint(eager=True)`` —
+    fastest, but the blocks are pinned to executor memory/disk and are NOT
+    recomputable: losing an executor mid-job fails every downstream stage.
+    The right trade single-box or for short-lived intermediates.
+
+    With ``checkpoint_dir``: the rows are committed as the next version of
+    the snapshot table ``{checkpoint_dir}/{name}`` (reliable shared
+    storage, atomic marker commit) and read back as a plain parquet scan
+    of exactly the committed files — survives executor loss, restartable
+    (the committed candidate set is time-travelable input for a resumed
+    job), and superseded versions beyond ``keep_last`` are expired so an
+    iterative caller does not grow storage per round."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    table = posixpath.join(checkpoint_dir, name)
+    info = commit_snapshot(df, table)
+    expire_snapshots(df.sparkSession, table, keep_last=keep_last)
+    return read_snapshot(df.sparkSession, table, version=info.version)

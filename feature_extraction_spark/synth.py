@@ -273,3 +273,102 @@ def write_transcripts(
     """Materialize the synthetic table to parquet, bucket-partition-friendly."""
     df = synth_transcripts(spark, n_convs=n_convs, seed=seed, **kwargs)
     df.write.mode("overwrite").parquet(path)
+
+
+_DOC_VOCAB = [
+    "spark", "table", "column", "query", "scan", "filter", "join", "group",
+    "sort", "hash", "merge", "batch", "stream", "value", "line", "part",
+    "order", "small", "big", "fast", "slow", "agg", "key", "vector",
+    "customer", "the", "a", "data", "shuffle", "window", "plan", "stage",
+]
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int = 50_000,
+    seed: int = 7,
+    mean_words: int = 50,
+    dup_every: int = 40,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic documents table matching the testdata shape
+    ``(doc_id, text, lang, source, n_chars)`` — pure function of
+    (seed, doc_id), generated distributively (spark.range + hash columns,
+    zero shuffles), for bench tiers above the fixed sf0.1 parquet.
+
+    Content model mirrors what makes the corpus ops expensive: 70% of
+    draws are Zipf-ish from a small common vocab (repeated n-grams for
+    gopher/spans), 30% from a 5000-token hash-derived long-tail — a
+    realistic shingle space (a tiny closed vocab makes every trigram a
+    stop-shingle and degenerates inverted-index dedup toward all-pairs,
+    which no real corpus does). Long-tail doc lengths, 5 langs /
+    20 sources, planted near-dups — every ``dup_every``-th doc
+    re-renders the PREVIOUS doc's token stream with one word substituted
+    (high-Jaccard pair for minhash/LSH/cluster paths); every
+    ``2*dup_every``-th is an exact duplicate."""
+    v = len(_DOC_VOCAB)
+    base = spark.range(n_docs, numPartitions=partitions)
+    # near/exact dups re-render a neighbor's stream: content_id points at
+    # the duplicated doc, mut flags the one-word substitution
+    is_exact = (F.col("id") % (2 * dup_every) == F.lit(2 * dup_every - 1))
+    is_near = (F.col("id") % dup_every == F.lit(dup_every - 1)) & ~is_exact
+    content_id = (
+        F.when(is_exact | is_near, F.col("id") - 1).otherwise(F.col("id"))
+    )
+    d = base.select(
+        F.col("id").alias("doc_id"),
+        content_id.alias("cid"),
+        is_near.alias("mut"),
+    )
+    # doc length: long-tail via inverse-uniform, 5..~20*mean words
+    u_len = _u(seed, "len", F.col("cid"))
+    n_words = (
+        F.lit(5)
+        + F.floor(F.lit(mean_words * 0.6) / (F.lit(0.03) + u_len * 0.97))
+    ).cast("int")
+    def _word(i):
+        h = F.xxhash64(F.lit(seed), F.lit("w"), F.col("cid"), i)
+        u = F.pmod(h, F.lit(10_000)) / 10_000.0
+        common = F.element_at(
+            F.array(*[F.lit(w) for w in _DOC_VOCAB]),
+            # mildly Zipf-ish (exponent 1.3): enough head skew for
+            # within-doc repetition signals, but the hottest trigram's
+            # document frequency stays sub-linear in corpus size — an
+            # uncapped inverted shingle index must not degenerate into
+            # one giant bucket (real corpora cap this with stop-shingle
+            # df limits; the driver's oracle-matched config runs uncapped)
+            (F.pmod(F.floor(F.pow(u / 0.6, F.lit(1.3)) * v), F.lit(v)) + 1)
+            .cast("int"),
+        )
+        rare = F.concat(
+            F.lit("tok"),
+            F.pmod(F.xxhash64(h, F.lit("r")), F.lit(5_000)).cast("string"),
+        )
+        return F.when(u < 0.6, common).otherwise(rare)
+
+    words = F.transform(F.sequence(F.lit(0), n_words - 1), _word)
+    # near-dup mutation: substitute word 2 (docs have >= 5 words)
+    words = F.when(
+        F.col("mut"),
+        F.concat(
+            F.slice(words, 1, 2),
+            F.array(F.lit("mutated")),
+            F.slice(words, 4, F.greatest(F.size(words) - 3, F.lit(0))),
+        ),
+    ).otherwise(words)
+    text = F.array_join(words, " ")
+    return d.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("zh"),
+                    F.lit("de"), F.lit("fr"), F.lit("es")),
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit("lg"), F.col("doc_id")),
+                    F.lit(7)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.lit("src"),
+            F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+        ).alias("source"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    )

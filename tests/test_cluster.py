@@ -205,3 +205,61 @@ def test_dedup_by_clusters_stale_pairs_keep_surviving_member(spark):
         r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect()
     )
     assert kept == [5, 9]
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir routes the per-round materialization through
+    snapshot-committed tables: labels identical to the localCheckpoint
+    path, edges/rounds durable on disk (survive any executor state), and
+    round retention bounds storage."""
+    import random
+
+    from feature_extraction_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = connected_components(
+        pairs, driver_threshold=0, checkpoint_dir=ckpt
+    )
+    base = connected_components(pairs, driver_threshold=0)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, base.collect()))
+
+    # the cleaned edge set is a committed, durable snapshot — readable
+    # directly from disk, independent of any executor-memory blocks
+    e = read_snapshot(spark, f"{ckpt}/cc_edges")
+    assert e.count() > 0
+    # retention: superseded rounds expired, at most 2 versions kept
+    assert len(snapshot_versions(spark, f"{ckpt}/cc_rounds")) <= 2
+
+
+def test_minhash_dedup_checkpoint_dir_matches_default(spark, tmp_path):
+    from feature_extraction_spark.ops.dedup import minhash_lsh_dedup
+    from feature_extraction_spark.sources.snapshots import read_snapshot
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append((i, base + f"variant {i % 2}"))
+        else:
+            rows.append((i, f"totally different document number {i} " * 3))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ckpt = str(tmp_path / "mh_ckpt")
+    with_ckpt = minhash_lsh_dedup(docs, threshold=0.7, checkpoint_dir=ckpt)
+    default = minhash_lsh_dedup(docs, threshold=0.7)
+    assert (
+        sorted(map(tuple, with_ckpt.select("id_a", "id_b").collect()))
+        == sorted(map(tuple, default.select("id_a", "id_b").collect()))
+    )
+    # candidate set committed to reliable storage, plan reads the snapshot
+    cands = read_snapshot(spark, f"{ckpt}/minhash_candidates")
+    assert cands.count() >= with_ckpt.count()
+    # (plan toString truncates long paths; inputFiles is exact)
+    assert any("minhash_candidates" in f for f in with_ckpt.inputFiles())

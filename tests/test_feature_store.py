@@ -268,3 +268,83 @@ def test_stream_distinct_state_matches_batch(spark, transcripts, tmp_path):
     g = {r.conv_id: r.est for r in got.collect()}
     w = {r.conv_id: r.est for r in whole.collect()}
     assert g == w and len(g) > 0
+
+
+def test_crash_between_microbatches_restart_equals_uninterrupted(
+    spark, transcripts, tmp_path
+):
+    """Kill the query mid-run (after some micro-batches committed, with
+    the next batch's offsets already WAL-ed — the real crash window),
+    restart from the same checkpoint dir, and assert the final state
+    equals an uninterrupted run over the same source. Replay idempotence
+    implies this; this demonstrates it under an actual query restart."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "crash_src")
+    state = str(tmp_path / "crash_state")
+    ckpt = str(tmp_path / "crash_ckpt")
+    t = _turns_with_value(transcripts).limit(600)
+    # several files -> several micro-batches under maxFilesPerTrigger=1
+    t.repartition(5).write.parquet(src)
+    schema = t.schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    real = make_state_upserter(state, "value", level="conv", stream_key=ckpt)
+    seen = {"n": 0}
+
+    def bomb(batch_df, batch_id):
+        if seen["n"] == 2:
+            raise RuntimeError("injected crash between micro-batches")
+        real(batch_df, batch_id)
+        seen["n"] += 1
+
+    q = (
+        reader().writeStream.option("checkpointLocation", ckpt)
+        .outputMode("update").foreachBatch(bomb)
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(120)
+    v_crashed = last_committed_version(spark, state)
+    assert v_crashed is not None  # some batches landed before the crash
+
+    # restart from the SAME checkpoint with the plain upserter: resumes at
+    # the failed batch (same batch_id, same data) and drains the rest
+    q2 = (
+        reader().writeStream.option("checkpointLocation", ckpt)
+        .outputMode("update").foreachBatch(real)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    assert last_committed_version(spark, state) > v_crashed
+
+    # uninterrupted reference run over the same source
+    state_ref = str(tmp_path / "ref_state")
+    ckpt_ref = str(tmp_path / "ref_ckpt")
+    q3 = (
+        stream_update_stat_states(
+            reader(), state_ref, ckpt_ref, value_col="value", level="conv"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+
+    got = (
+        finalize_stat_state(read_snapshot(spark, state), "v")
+        .orderBy("conv_id").toPandas()
+    )
+    ref = (
+        finalize_stat_state(read_snapshot(spark, state_ref), "v")
+        .orderBy("conv_id").toPandas()
+    )
+    assert got.equals(ref)
+    # and both equal the plain batch aggregation
+    exp = _expected(t.toPandas())
+    assert set(got["conv_id"]) == set(exp)
