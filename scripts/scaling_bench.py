@@ -59,10 +59,11 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 # warm-up passes: JIT/codegen compilation and FS cache, untimed; the timed
 # pass below measures steady-state compute (what a long cluster job sees —
-# C2 promotion of the generated window/agg loops takes ~3 iterations)
-force(out)
-force(out)
-force(out)
+# C2 promotion of the generated window/agg loops takes ~3 iterations of a
+# SMALL plan; on 50M+ row inputs one pass already executes each generated
+# loop millions of times, so FES_WARMUPS=1 is enough there)
+for _ in range(int(os.environ.get("FES_WARMUPS", "3"))):
+    force(out)
 sc = spark.sparkContext
 sc.setJobGroup("timed", "timed scaling pass")
 t0 = time.monotonic()

@@ -204,3 +204,18 @@ def test_semdedup_pairs_shares_cluster_exchange(spark):
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_verbosity_stats_no_object_aggregate(spark, turns):
+    """The round-3 scaling diagnosis (BENCH/scaling.json) traced a 42 GB
+    spill + 2.5x CPU inflation to median's ObjectHashAggregate sort-based
+    fallback at millions of groups. verbosity_stats must stay on the
+    exact-histogram plan: pure codegen HashAggregates only."""
+    from feature_extraction_spark.ops.turn_stats import verbosity_stats
+
+    plan = (
+        verbosity_stats(turns, level="conv")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ObjectHashAggregate" not in plan
+    assert "SortAggregate" not in plan
