@@ -46,13 +46,34 @@ from bench import flagship_pipeline
 # shuffle layout and per-partition work are then identical at both levels
 # and ONLY the number of concurrent slots differs.
 parts = int(os.environ.get("FES_SHUFFLE_PARTITIONS", "64"))
+extra = {"spark.driver.memory": f"{int(cores * 1.5)}g",
+         "spark.ui.enabled": "true",
+         "spark.ui.port": "0"}
+# Optional AQE advisory partition size (e.g. "16m"): with the default 64m,
+# AQE re-coalesces any partition count above input_bytes/64m back down, so
+# a finer FES_SHUFFLE_PARTITIONS would be silently undone. Identical at
+# both levels — the layout stays cluster-size-independent.
+if os.environ.get("FES_ADVISORY"):
+    extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = \
+        os.environ["FES_ADVISORY"]
 spark = get_spark("scaling", cores=cores, shuffle_partitions=parts,
-                  extra_conf={"spark.driver.memory": f"{int(cores * 1.5)}g",
-                              "spark.ui.enabled": "true",
-                              "spark.ui.port": "0"})
+                  extra_conf=extra)
 t = spark.read.parquet(tpath)
 n_turns = t.count()
-out = flagship_pipeline(t)
+job = os.environ.get("FES_JOB", "flagship")
+
+def build():
+    if job == "dedup":
+        # corpus path: OPH MinHash-LSH + exact-Jaccard verification — the
+        # driver query's exact configuration (128 perms x 32 bands). The
+        # candidate set materializes eagerly at CONSTRUCTION, so the job
+        # is rebuilt inside every forced pass to count that work.
+        from feature_extraction_spark.ops.dedup import minhash_lsh_dedup
+        return minhash_lsh_dedup(t, threshold=0.8, num_hashes=128,
+                                 bands=32, method="oph")
+    return flagship_pipeline(t)
+
+out = build()
 def force(df):
     # noop sink evaluates EVERY column; count() would let Catalyst elide
     # the outer join and windows entirely
@@ -63,10 +84,12 @@ def force(df):
 # SMALL plan; on 50M+ row inputs one pass already executes each generated
 # loop millions of times, so FES_WARMUPS=1 is enough there)
 for _ in range(int(os.environ.get("FES_WARMUPS", "3"))):
-    force(out)
+    force(build() if job == "dedup" else out)
 sc = spark.sparkContext
 sc.setJobGroup("timed", "timed scaling pass")
 t0 = time.monotonic()
+if job == "dedup":
+    out = build()  # construction-time materialization counted in the wall
 force(out)
 wall = time.monotonic() - t0
 sc.setJobGroup("untimed", "post-run")
@@ -144,17 +167,25 @@ def run_level(cores: int, tpath: str) -> dict:
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
-    tpath = f"/tmp/spark_graft_bench/transcripts_scaling_{n_convs}_seed{seed}"
+    job = os.environ.get("FES_JOB", "flagship")
+    if job == "dedup":
+        tpath = f"/tmp/spark_graft_bench/docs_scaling_{n_convs}_seed{seed}"
+        synth_fn, synth_kw = "synth_documents", f"n_docs={n_convs}"
+    else:
+        tpath = (
+            f"/tmp/spark_graft_bench/transcripts_scaling_{n_convs}_seed{seed}"
+        )
+        synth_fn, synth_kw = "synth_transcripts", f"n_convs={n_convs}"
 
     if not os.path.exists(os.path.join(tpath, "_SUCCESS")):
         gen = (
             "import sys; sys.path.insert(0, {repo!r});"
             "from feature_extraction_spark.session import get_spark;"
-            "from feature_extraction_spark.synth import synth_transcripts;"
+            "from feature_extraction_spark.synth import {fn};"
             "spark = get_spark('gen', cores=32, shuffle_partitions=32);"
-            "synth_transcripts(spark, n_convs={n}, seed={s})"
+            "{fn}(spark, {kw}, seed={s})"
             ".write.mode('overwrite').parquet({p!r})"
-        ).format(repo=REPO, n=n_convs, s=seed, p=tpath)
+        ).format(repo=REPO, fn=synth_fn, kw=synth_kw, s=seed, p=tpath)
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
     # This box is SHARED: neighbor load swings single-shot walls 2-3x and
@@ -187,6 +218,7 @@ def main() -> None:
     for r in runs8 + runs32:
         r.pop("stages", None)
     result = {
+        "job": job,
         "n_turns": r8["n_turns"],
         "local8": r8,
         "local32": r32,
@@ -199,14 +231,22 @@ def main() -> None:
             f"each level CPU-pinned to its core budget "
             f"(pinned={r8.get('pinned')}); shuffle partitions fixed at "
             f"{r8.get('shuffle_partitions')} across levels"
+            + (f"; AQE advisory {os.environ['FES_ADVISORY']}"
+               if os.environ.get("FES_ADVISORY") else "")
         ),
         "all_walls_8": [round(r["wall_s"], 2) for r in runs8],
         "all_walls_32": [round(r["wall_s"], 2) for r in runs32],
         "stages_8": stages8,
         "stages_32": stages32,
     }
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    out_name = "scaling.json" if job == "flagship" else f"scaling_{job}.json"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(result, f, indent=2)
+    if job != "flagship":
+        # non-flagship jobs: JSON artifact only; the BASELINE.md scaling
+        # section stays owned by the flagship measurement
+        print(json.dumps(result))
+        return
 
     md = f"""# BENCH/BASELINE — measured numbers
 
@@ -233,11 +273,12 @@ faithful estimate of that level's true cost.
 Output feature matrix: row count and order-insensitive xxhash64 content hash
 **identical** across both levels ({r8['rows']:,} rows).
 
-Confs: AQE on (coalescePartitions, skewJoin), shuffle.partitions = cores,
-Arrow batch 10k, UTC session TZ. Single-machine local mode — shuffles are
-in-process; on a real 4N-executor cluster the same plan shapes apply with
-network exchange (partitioning by conv_id, broadcast dims, map-side partial
-aggregation).
+Confs: AQE on (coalescePartitions, skewJoin), shuffle.partitions fixed at
+{r8.get('shuffle_partitions')} across both levels, each level CPU-pinned to
+its core budget, Arrow batch 10k, UTC session TZ. Single-machine local mode
+— shuffles are in-process; on a real 4N-executor cluster the same plan
+shapes apply with network exchange (partitioning by conv_id, broadcast
+dims, map-side partial aggregation).
 
 ## Reference comparison
 
