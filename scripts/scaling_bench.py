@@ -8,7 +8,17 @@ Each level runs in its own subprocess (fresh JVM) so thread pools, shuffle
 partitions, and memory fractions are honest per level. Writes
 BENCH/BASELINE.md and BENCH/scaling.json.
 
-Usage: python scripts/scaling_bench.py [n_convs] [seed]
+Usage: python scripts/scaling_bench.py [n_convs] [seed] [reps]
+
+Env knobs:
+  FES_JOB=flagship|dedup   job class (dedup = OPH MinHash-LSH + exact
+                           verification over synth_documents; first CLI
+                           arg is then n_docs; writes scaling_dedup.json)
+  FES_PIN=0                disable per-level CPU pinning
+  FES_SHUFFLE_PARTITIONS   fixed across levels (default 64)
+  FES_ADVISORY             AQE advisory partition size (e.g. 16m)
+  FES_WARMUPS              untimed passes per level (default 3; 1 is
+                           enough on 50M+ row inputs)
 """
 
 from __future__ import annotations
