@@ -294,6 +294,88 @@ def q_asof_purchase_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward' parity):
+    every event gets the NEXT purchase aggregate at-or-after its ts — the
+    retrospective time-to-next-event direction. Same one-shuffle union-tag
+    window plan as backward; DuckDB oracle is ASOF JOIN with <=."""
+    from feature_extraction_spark.ops.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        right,
+        on="user_id",
+        value_cols=["pval"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.round("pval_asof", 6).alias("next_purchase_value"),
+        F.unix_micros("ts_asof").alias("next_purchase_ts_us"),
+    )
+
+
+def q_asof_purchase_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: the closer of the backward/forward purchase
+    match per event (|age| ties prefer backward — mirrored in the oracle's
+    CASE). Still ONE shuffle: both frames share the single (user_id,
+    ts, tag) sort."""
+    from feature_extraction_spark.ops.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        right,
+        on="user_id",
+        value_cols=["pval"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        F.round("pval_asof", 6).alias("nearest_purchase_value"),
+        F.unix_micros("ts_asof").alias("nearest_purchase_ts_us"),
+    )
+
+
+def q_decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: identical output to
+    decontaminate_docs (the broadcast bitset only over-flags; exact
+    verification removes false positives), so it shares that query's SQL
+    oracle. The point is the scale path: ~13x smaller broadcast than the
+    hash relation and a map-only codegen probe of the corpus."""
+    from feature_extraction_spark.ops.dedup import decontaminate_bloom
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 37 == 0).select("text")
+    return decontaminate_bloom(d, bench, n=8).select("doc_id")
+
+
+def q_emb_pool_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool the embeddings table per label (the conversation/document
+    -level vector op), emitted one row per (label, dim) so the value check
+    is scalar-exact."""
+    from feature_extraction_spark.ops.similarity import pool_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pool_embeddings(emb, "label", emb_col="embedding")
+    return out.select(
+        "label",
+        "n_rows",
+        F.posexplode("pooled").alias("dim", "val"),
+    ).select("label", "n_rows", "dim", F.round("val", 6).alias("val"))
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_extraction_spark.ops.sessionize import session_bounds
 
@@ -1186,6 +1268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "asof_purchase": q_asof_purchase,
         "asof_purchase_broadcast": q_asof_purchase_broadcast,
+        "asof_purchase_forward": q_asof_purchase_forward,
+        "asof_purchase_nearest": q_asof_purchase_nearest,
+        "decontaminate_bloom_docs": q_decontaminate_bloom_docs,
+        "emb_pool_label": q_emb_pool_label,
         "sessionize_events": q_sessionize_events,
         "session_stats_events": q_session_stats_events,
         "latency_stats_events": q_latency_stats_events,
@@ -1948,6 +2034,43 @@ FROM events e ASOF LEFT JOIN p
   ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 
+    asof_forward = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pval FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id,
+       round(p.pval, 6) AS next_purchase_value,
+       epoch_us(p.ts) AS next_purchase_ts_us
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+    # nearest = closer of the backward/forward ASOF matches; exact-tie
+    # CASE prefers backward, mirroring ops/asof.py
+    asof_nearest = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pval FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+), b AS (
+  SELECT e.event_id, e.ts AS lts, p.pval AS bval, p.ts AS bts
+  FROM events e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts >= p.ts
+), f AS (
+  SELECT e.event_id, p.pval AS fval, p.ts AS fts
+  FROM events e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts <= p.ts
+)
+SELECT b.event_id,
+  round(CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL AND
+          epoch_us(b.lts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.lts))
+        THEN b.bval ELSE f.fval END, 6) AS nearest_purchase_value,
+  epoch_us(CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL AND
+          epoch_us(b.lts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(b.lts))
+        THEN b.bts ELSE f.fts END) AS nearest_purchase_ts_us
+FROM b JOIN f USING (event_id)
+"""
+
     sessionize = """
 WITH g AS (
   SELECT user_id, event_id, ts,
@@ -2399,6 +2522,8 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "simhash_pairs_docs": jaccard_pairs_08,
         "asof_purchase": asof,
         "asof_purchase_broadcast": asof,
+        "asof_purchase_forward": asof_forward,
+        "asof_purchase_nearest": asof_nearest,
         "sessionize_events": sessionize,
         "session_stats_events": session_stats,
         "latency_stats_events": latency,
@@ -2585,6 +2710,23 @@ LIMIT 25
         "truecase_docs": truecase,
         "pii_scrub_docs": pii_scrub,
         "decontaminate_docs": decontaminate,
+        # bloom pre-filter + exact verify == the exact broadcast-hash path
+        "decontaminate_bloom_docs": decontaminate,
+        # one row per (label, dim): generate_subscripts/unnest zip
+        # positionally; dims are 0-based to match posexplode
+        "emb_pool_label": """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE embedding IS NOT NULL
+), n AS (
+  SELECT label, count(*) AS n_rows FROM embeddings
+  WHERE embedding IS NOT NULL GROUP BY label
+)
+SELECT e.label, n.n_rows, e.dim, round(avg(e.val), 6) AS val
+FROM e JOIN n USING (label)
+GROUP BY e.label, n.n_rows, e.dim
+""",
         "semdedup_emb": semdedup_emb,
         "stratified_sample_docs": stratified_sample,
         # ivf_topk runs full-probe in the driver (candidates = whole table),

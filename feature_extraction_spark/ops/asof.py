@@ -42,6 +42,7 @@ def asof_join(
     inclusive: bool = True,
     tolerance_s: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Sort-merge-shaped as-of join.
 
@@ -49,16 +50,50 @@ def asof_join(
     non-ts right columns), a ``<col><suffix>`` column holding the value from
     the latest right row at-or-before (or strictly before) the left row's ts,
     plus ``<ts_col><suffix>`` with that right row's timestamp.
+
+    ``direction`` (pandas ``merge_asof`` parity, same one-shuffle plan):
+
+    - ``"backward"`` (default): latest right row at-or-before — the
+      point-in-time / zero-leakage direction.
+    - ``"forward"``: EARLIEST right row at-or-after the left ts
+      (``inclusive=False`` -> strictly after). Leaks future values by
+      construction — for retrospective analytics (time-to-next-event),
+      never for training features.
+    - ``"nearest"``: whichever of backward/forward match is closer in
+      absolute time; exact ties prefer the backward row. Requires
+      ``inclusive=True`` (a strict nearest would need second-place
+      candidates once the equal-ts row is discarded, which the single
+      window pass cannot express).
+
+    All three directions run in the SAME single key-shuffle window pass —
+    ``nearest`` adds a second frame over the identical sort order, not a
+    second exchange.
+
+    ``tolerance_s`` bounds the |left.ts - matched right.ts| age in every
+    direction; matches outside it are nulled.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and not inclusive:
+        raise ValueError("direction='nearest' requires inclusive=True")
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts_col or ts_col
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in keys + [rts]]
 
-    # Tag order decides tie behavior at equal timestamps:
-    # inclusive (<=): right first (tag 0) so left sees same-ts right rows;
-    # strict (<):     left first (tag 0) so same-ts right rows are ignored.
-    left_tag, right_tag = (1, 0) if inclusive else (0, 1)
+    # Tag order decides tie behavior at equal timestamps. Backward
+    # inclusive (<=): right first (tag 0) so the unbounded-preceding frame
+    # ending at the left row sees same-ts right rows; strict (<) flips.
+    # Forward is the mirror image over the unbounded-FOLLOWING frame:
+    # inclusive needs same-ts right rows AFTER the left row, strict before.
+    # Nearest keeps the backward-inclusive order: the preceding frame sees
+    # the equal-ts row at age 0, which no forward candidate can beat.
+    if direction == "forward":
+        left_tag, right_tag = (0, 1) if inclusive else (1, 0)
+    else:
+        left_tag, right_tag = (1, 0) if inclusive else (0, 1)
 
     lcols = [F.col(c) for c in left.columns]
     l_tagged = left.select(
@@ -78,25 +113,52 @@ def asof_join(
     ).select(*l_tagged.columns)  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_asof_ts", "_tag")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    ordered = Window.partitionBy(*keys).orderBy("_asof_ts", "_tag")
+    wb = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    wf = ordered.rowsBetween(0, Window.unboundedFollowing)
+
+    def _bwd(c):
+        return F.last(c, ignorenulls=True).over(wb)
+
+    def _fwd(c):
+        return F.first(c, ignorenulls=True).over(wf)
+
+    if direction == "backward":
+        picks = [_bwd(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols]
+        picks.append(_bwd("_r_ts").alias(f"{ts_col}{suffix}"))
+    elif direction == "forward":
+        picks = [_fwd(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols]
+        picks.append(_fwd("_r_ts").alias(f"{ts_col}{suffix}"))
+    else:  # nearest: both frames over the one sort, closest age wins
+        lts_us = F.unix_micros(F.col("_asof_ts"))
+        b_ts, f_ts = _bwd("_r_ts"), _fwd("_r_ts")
+        use_b = f_ts.isNull() | (
+            b_ts.isNotNull()
+            & ((lts_us - F.unix_micros(b_ts)) <= (F.unix_micros(f_ts) - lts_us))
+        )
+        picks = [
+            F.when(use_b, _bwd(f"_r_{c}")).otherwise(_fwd(f"_r_{c}")).alias(
+                f"{c}{suffix}"
+            )
+            for c in value_cols
+        ]
+        picks.append(F.when(use_b, b_ts).otherwise(f_ts).alias(f"{ts_col}{suffix}"))
+
     filled = unioned.select(
         *[c for c in left.columns],
         F.col("_tag"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+        *picks,
     )
     out = filled.filter(F.col("_tag") == left_tag).drop("_tag")
 
     if tolerance_s is not None:
+        # |age| covers every direction (backward matches are never later,
+        # forward never earlier, nearest either side)
         age = (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"{ts_col}{suffix}"))
+            F.abs(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.col(f"{ts_col}{suffix}"))
+            )
         ) / F.lit(1_000_000.0)
         stale = F.col(f"{ts_col}{suffix}").isNull() | (age > tolerance_s)
         for c in value_cols:
@@ -120,13 +182,25 @@ def asof_join_broadcast(
     value_cols: list[str] | None = None,
     inclusive: bool = True,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Broadcast as-of join for small right sides / skewed left keys.
 
     Aggregates the right side to one sorted array of (ts, values) per key
     (small by assumption), broadcasts it, and per left row selects the last
     array element at-or-before ts with JVM array expressions.
+
+    ``direction`` matches :func:`asof_join`: ``backward`` (default) takes
+    the last element at-or-before, ``forward`` the first at-or-after,
+    ``nearest`` (``inclusive=True`` only) the closer of the two with ties
+    preferring backward.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and not inclusive:
+        raise ValueError("direction='nearest' requires inclusive=True")
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts_col or ts_col
     if value_cols is None:
@@ -139,15 +213,34 @@ def asof_join_broadcast(
     )
     joined = left.join(F.broadcast(packed), on=keys, how="left")
     lts = F.unix_micros(F.col(ts_col))
-    cond = (
+    before = (
         (lambda e: F.unix_micros(e["_ts"]) <= lts)
         if inclusive
         else (lambda e: F.unix_micros(e["_ts"]) < lts)
     )
+    after = (
+        (lambda e: F.unix_micros(e["_ts"]) >= lts)
+        if inclusive
+        else (lambda e: F.unix_micros(e["_ts"]) > lts)
+    )
     # try_element_at: the filtered series is EMPTY when a left row precedes
-    # every right row for its key — plain element_at(-1) would throw on any
-    # session running Spark 4's default ANSI mode instead of yielding NULL
-    match = F.try_element_at(F.filter(F.col("_series"), cond), F.lit(-1))
+    # (resp. follows) every right row for its key — plain element_at would
+    # throw under Spark 4's default ANSI mode instead of yielding NULL
+    b_match = F.try_element_at(F.filter(F.col("_series"), before), F.lit(-1))
+    f_match = F.try_element_at(F.filter(F.col("_series"), after), F.lit(1))
+    if direction == "backward":
+        match = b_match
+    elif direction == "forward":
+        match = f_match
+    else:
+        use_b = f_match.isNull() | (
+            b_match.isNotNull()
+            & (
+                (lts - F.unix_micros(b_match["_ts"]))
+                <= (F.unix_micros(f_match["_ts"]) - lts)
+            )
+        )
+        match = F.when(use_b, b_match).otherwise(f_match)
     out = joined
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", match[c])

@@ -502,3 +502,119 @@ def decontaminate(
         .distinct()
     )
     return df.join(contaminated, on=id_col, how="left_anti")
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    bits_per_key: int = 16,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """``decontaminate`` with a broadcast BLOOM-FILTER pre-filter instead
+    of a broadcast hash relation — identical output (false positives are
+    removed by an exact verification pass), built for benchmark suites too
+    large to broadcast as a join relation.
+
+    Scale shape: ``decontaminate`` broadcasts the benchmark's distinct
+    shingle hashes as a join relation (16+ bytes/key plus hash-map
+    overhead — a 10^9-gram suite is tens of GB, past any broadcast
+    budget). Here the benchmark folds into an m-bit Bloom bitset
+    (``bits_per_key`` bits/key, default 16 -> ~0.05% FP rate at k=11
+    probes), shipped once per executor as a single array<long> row on a
+    one-row broadcast join: ~13x smaller than the hash relation, and the
+    corpus-side probe is pure whole-stage-codegen bit algebra
+    (element_at + shiftleft + AND) — map-only, no join hash table, no
+    shuffle of the corpus. Only flagged doc ids (true positives + the FP
+    tail) leave the scan stage. Verification re-shingles ONLY the flagged
+    docs and exact-joins them against the benchmark shingles WITHOUT a
+    broadcast hint — that side being small again, AQE picks the strategy,
+    and the too-big-to-broadcast premise never re-enters.
+
+    The bitset is one in-plan array value: practical ceiling ~10^9 keys at
+    8-16 bits/key (1-2 GB array, inside Spark's 2^31-element bound); past
+    that, shard the benchmark and compose filters. The driver builds the
+    dense array from the non-zero words (collect is bounded by
+    min(m_bits/64, k x n_keys) longs).
+
+    Exactness: output equals ``decontaminate`` exactly — Bloom only
+    over-flags, and verification applies the same xxhash64 shingle
+    equality. Property-tested against ``decontaminate`` in
+    tests/test_dedup_similarity.py.
+    """
+    import math
+
+    if bits_per_key < 1:
+        raise ValueError("bits_per_key must be >= 1")
+    k = num_hashes or max(1, round(bits_per_key * math.log(2)))
+
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(bench_text_col, n)).alias("sh"))
+        .select(F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    # one action over the SMALL side to size the filter (power of two so
+    # `pmod` keys spread evenly under xxhash64)
+    n_keys = bench_sh.count()
+    m_bits = 1 << max(10, math.ceil(math.log2(bits_per_key * max(1, n_keys))))
+    n_words = m_bits // 64
+
+    def _with_positions(frame):
+        # k positions via seeded rehash of the 8-byte shingle hash; named
+        # columns so the shift amount can be a SQL column expression
+        # (F.shiftleft only accepts a literal shift)
+        for i in range(k):
+            frame = frame.withColumn(
+                f"_p{i}", F.pmod(F.xxhash64("h", F.lit(i)), F.lit(m_bits))
+            )
+        return frame
+
+    words_rows = (
+        _with_positions(bench_sh)
+        .select(
+            F.explode(F.array(*[F.col(f"_p{i}") for i in range(k)])).alias("pos")
+        )
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in words_rows:
+        dense[int(r["w"])] = int(r["bits"])
+    bits_df = df.sparkSession.createDataFrame(
+        [(dense,)], "_bloom_bits array<long>"
+    )
+
+    doc_sh = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(_shingles(text_col, n)).alias("sh"))
+        .select("id", F.xxhash64("sh").alias("h"))
+    )
+    probe = _with_positions(doc_sh.crossJoin(F.broadcast(bits_df)))
+    hit = F.lit(True)
+    for i in range(k):
+        word = F.element_at(
+            F.col("_bloom_bits"), F.expr(f"CAST(_p{i} div 64 AS INT) + 1")
+        )
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))")
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    flagged = probe.filter(hit).select("id").distinct()
+
+    # exact verification of flagged docs only; NO broadcast hint — the
+    # flagged side is small, AQE chooses the join strategy
+    contaminated = (
+        doc_sh.join(flagged, on="id", how="left_semi")
+        .join(bench_sh, on="h", how="left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(contaminated, on=id_col, how="left_anti")

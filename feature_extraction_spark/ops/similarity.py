@@ -385,3 +385,83 @@ def semdedup(
         .distinct()
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_cols: str | list[str],
+    emb_col: str = "embedding",
+    method: str = "mean",
+    normalize: bool = False,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Pool per-row embeddings into one vector per group — mean ("average
+    of turn embeddings = conversation embedding"), sum, or element-wise
+    max. Returns (group_cols..., n_rows, <out_col>: array<double>).
+
+    Scale shape: posexplode to (group, dim_idx, val) then ONE hash
+    aggregation keyed on (group, dim_idx) — fully map-side combinable, so
+    the shuffle carries at most |groups| x dim partial rows regardless of
+    input size — and a second small aggregation reassembles the vector
+    ordered by dim_idx. The obvious alternative (collect_list of whole
+    arrays + fold) buffers every member vector of a group in one task:
+    a hot group (a million-turn conversation) OOMs it; the posexplode
+    plan never materializes a group's members together.
+
+    ``normalize=True`` L2-normalizes the pooled vector (cosine-ready;
+    zero vectors stay zero rather than NaN). Rows with NULL embeddings
+    are ignored; ragged dims within a group raise at aggregation (strict:
+    a silent min-length pool would corrupt the space).
+
+    Reference analog: none (the reference has no embedding ops) — this is
+    the training-pipeline op that turns turn-level vectors into
+    conversation/document-level ones before ANN search or SemDeDup.
+    """
+    if method not in ("mean", "sum", "max"):
+        raise ValueError(f"method must be mean|sum|max, got {method!r}")
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    exploded = df.filter(F.col(emb_col).isNotNull()).select(
+        *keys, F.posexplode(emb_col).alias("_dim", "_val")
+    )
+    agg = {"mean": F.avg, "sum": F.sum, "max": F.max}[method]
+    per_dim = exploded.groupBy(*keys, "_dim").agg(
+        agg(F.col("_val").cast("double")).alias("_pool"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    pooled = (
+        per_dim.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_dim"), F.col("_pool")))
+            ).alias("_pairs"),
+            F.min("_n").alias("_n_min"),
+            F.max("_n").alias("_n_max"),
+        )
+        .select(
+            *keys,
+            # the ragged check lives INSIDE the output column — an unused
+            # guard column would be pruned by Catalyst and never evaluated
+            F.when(
+                F.col("_n_min") != F.col("_n_max"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("pool_embeddings: ragged embedding dims in group "),
+                        F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("_n_max"))
+            .alias("n_rows"),
+            F.transform(F.col("_pairs"), lambda p: p["_pool"]).alias(out_col),
+        )
+    )
+    if normalize:
+        nrm = _norm(F.col(out_col))
+        pooled = pooled.withColumn(
+            out_col,
+            F.when(
+                nrm > 0, F.transform(F.col(out_col), lambda v: v / nrm)
+            ).otherwise(F.col(out_col)),
+        )
+    return pooled
