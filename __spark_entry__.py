@@ -924,6 +924,103 @@ def q_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of event_type by value, fit ONLY on the
+    md5-hash train split (leakage-safe fit/transform, ops/encode.py),
+    applied to every row. _r4 on the encoding: it is a ratio of sums.
+    Reference parity: the reference's per-subject feature matrices are
+    hand-assembled per split; this is the scalable encoder analog."""
+    from feature_extraction_spark.ops.chunk import hash_split
+    from feature_extraction_spark.ops.encode import (
+        apply_target_encoder,
+        fit_target_encoder,
+    )
+
+    e = hash_split(
+        _events(spark, sf_dir), "user_id", {"train": 0.8, "eval": 0.2},
+        salt="te-r3",
+    )
+    enc = fit_target_encoder(
+        e.filter(F.col("split") == "train"), "event_type", "value",
+        smoothing=20.0, decimals=4,
+    )
+    out = apply_target_encoder(e, enc, "event_type")
+    return out.select("event_id", "event_type", "split", "te")
+
+
+def q_quantile_bin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning (feature discretization): exact type-7 octile edges
+    of value, rounded to 4 decimals so the fitted artifact is
+    engine-portable, bucket = #edges below x via a native array filter
+    (no UDF, broadcast edges). Output: per (event_type, bin) counts."""
+    from feature_extraction_spark.ops.encode import quantile_bin
+
+    out = quantile_bin(_events(spark, sf_dir), "value", n_bins=8)
+    agg = out.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("val_mean"),
+    )
+    return agg
+
+
+def q_feature_cross_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature cross (hashing trick): (event_type x user_id%7) into
+    64 buckets via the first 32 bits of the length-prefixed salted md5 —
+    a pure per-row expression, zero shuffle before the final count."""
+    from feature_extraction_spark.ops.encode import feature_cross
+
+    e = _events(spark, sf_dir).withColumn(
+        "mod7", (F.col("user_id") % 7).cast("bigint")
+    )
+    out = feature_cross(e, ["event_type", "mod7"], n_buckets=64, salt="fx-r3")
+    return out.groupBy("cross_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type", "mod7").alias("n_tuples"),
+    )
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): top-50 docs by ln(u)/n_chars where u is the md5-hash
+    uniform — P(keep) proportional to document length, reproducible on any
+    engine. Compiles to TakeOrderedAndProject (per-partition heaps), never
+    a global sort."""
+    from feature_extraction_spark.ops.chunk import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    out = weighted_sample(
+        d, "n_chars", 50, "doc_id", salt="ws-r3", priority_col="pri"
+    )
+    return out.select("doc_id", "n_chars", F.round("pri", 6).alias("pri"))
+
+
+def q_temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with a 2-day embargo, audited in BOTH
+    modes: row mode labels each event by its own timestamp; entity mode
+    quarantines any user whose events straddle the boundary (context on
+    both sides leaks either way — and on this table every user is
+    long-lived, so entity mode honestly reports that a user-level time
+    split is impossible: all rows land in 'embargo'). One window min/max
+    per user for entity mode; output is the per-(mode, split) audit."""
+    from feature_extraction_spark.ops.chunk import temporal_split
+
+    e = _events(spark, sf_dir)
+    cut, emb = "2024-01-20 00:00:00", 2 * 86400.0
+
+    def audit(df, mode):
+        return df.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).select(F.lit(mode).alias("mode"), "*")
+
+    row = audit(temporal_split(e, "ts", cut, emb), "row")
+    ent = audit(
+        temporal_split(e, "ts", cut, emb, entity_cols="user_id"), "entity"
+    )
+    return row.unionByName(ent)
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy headline query: broadcast the filtered dimension, shuffle
     only the fact tables."""
@@ -1310,6 +1407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "hash_split_docs": q_hash_split_docs,
         "mixture_docs": q_mixture_docs,
+        "target_encode_events": q_target_encode_events,
+        "quantile_bin_events": q_quantile_bin_events,
+        "feature_cross_events": q_feature_cross_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "temporal_split_events": q_temporal_split_events,
         "vocab_filter_docs": q_vocab_filter_docs,
         "truecase_docs": q_truecase_docs,
         "pii_scrub_docs": q_pii_scrub_docs,
@@ -2016,6 +2118,107 @@ SELECT doc_id, source FROM documents
 WHERE CASE {mix_cases} ELSE FALSE END
 """
 
+    # target encoding: identical split expression + identical smoothed-mean
+    # arithmetic (round-4 per the _r4 sums lesson); the global mean inside
+    # the formula is UNrounded, matching ops/encode.fit_target_encoder
+    t_te = _hex_threshold(0.8)
+    target_encode_events = f"""
+WITH s AS (
+  SELECT event_id, event_type, value,
+    CASE WHEN md5(user_id::VARCHAR || chr(31) || 'te-r3') < '{t_te}'
+         THEN 'train' ELSE 'eval' END AS split
+  FROM events
+), pc AS (
+  SELECT event_type, count(value) AS n, sum(value) AS sm
+  FROM s WHERE split = 'train' GROUP BY event_type
+), g AS (
+  SELECT sum(sm) / sum(n) AS gm FROM pc
+), enc AS (
+  SELECT event_type, round((sm + 20.0 * gm) / (n + 20.0), 4) AS te_value
+  FROM pc, g
+)
+SELECT s.event_id, s.event_type, s.split,
+  coalesce(enc.te_value, (SELECT round(gm, 4) FROM g)) AS te
+FROM s LEFT JOIN enc USING (event_type)
+"""
+
+    # quantile binning: DuckDB quantile_cont == Spark percentile (type-7);
+    # edges rounded to 4 decimals on BOTH sides before bucketing, so the
+    # bucket boundary is the same float in the two engines
+    quantile_bin_events = """
+WITH e AS (
+  SELECT list_transform(
+           quantile_cont(value::DOUBLE, [0.125, 0.25, 0.375, 0.5,
+                                         0.625, 0.75, 0.875]),
+           x -> round(x, 4)) AS edges
+  FROM events
+)
+SELECT event_type,
+  CASE WHEN value IS NULL OR isnan(value) THEN NULL
+       ELSE len(list_filter(e.edges, x -> value::DOUBLE > x)) END AS bin,
+  count(*) AS n,
+  round(avg(value), 4) AS val_mean
+FROM events, e
+GROUP BY event_type, bin
+"""
+
+    # feature cross: identical length-prefixed md5 -> first-32-bits -> mod
+    feature_cross_events = """
+WITH b AS (
+  SELECT event_type, user_id % 7 AS mod7,
+    CAST('0x' || substr(
+      md5(concat(length(event_type)::VARCHAR, ':', event_type, chr(31),
+                 length((user_id % 7)::VARCHAR)::VARCHAR, ':',
+                 (user_id % 7)::VARCHAR) || chr(31) || 'fx-r3'),
+      1, 8) AS BIGINT) % 64 AS cross_bucket
+  FROM events
+)
+SELECT cross_bucket::INT AS cross_bucket, count(*) AS n,
+  count(DISTINCT (event_type, mod7)) AS n_tuples
+FROM b GROUP BY cross_bucket
+"""
+
+    # A-ES weighted sample: u from the first 13 md5 hex digits (52 bits —
+    # exact in a double and a BIGINT on both engines), priority ln(u)/w
+    weighted_sample_docs = """
+SELECT doc_id, n_chars,
+  round(ln((CAST('0x' || substr(
+              md5(doc_id::VARCHAR || chr(31) || 'ws-r3'), 1, 13)
+            AS BIGINT) + 0.5) / 4503599627370496.0) / n_chars, 6) AS pri
+FROM documents
+WHERE n_chars > 0
+ORDER BY ln((CAST('0x' || substr(
+              md5(doc_id::VARCHAR || chr(31) || 'ws-r3'), 1, 13)
+            AS BIGINT) + 0.5) / 4503599627370496.0) / n_chars DESC
+LIMIT 50
+"""
+
+    # temporal embargo split, audited in row mode (label per event ts) and
+    # entity mode (label per user from its min/max ts; straddlers embargo)
+    temporal_split_events = """
+WITH b AS (
+  SELECT user_id,
+    CASE WHEN max(ts) < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+         WHEN min(ts) >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+         ELSE 'embargo' END AS split
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+              WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+              ELSE 'test' END AS split,
+         user_id, value
+  FROM events
+)
+SELECT 'row' AS mode, split, count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users, round(sum(value), 4) AS sum_value
+FROM r GROUP BY split
+UNION ALL
+SELECT 'entity' AS mode, b.split, count(*) AS n_events,
+  count(DISTINCT e.user_id) AS n_users, round(sum(e.value), 4) AS sum_value
+FROM events e JOIN b USING (user_id)
+GROUP BY b.split
+"""
+
     # minhash / simhash driver queries are candidate-generation + exact
     # Jaccard verification at threshold 0.8 with full-recall configs
     # (verified at sf0.001/sf0.01), so their value-level oracle is the
@@ -2706,6 +2909,11 @@ LIMIT 25
         "chunk_docs": chunk_docs,
         "hash_split_docs": hash_split_docs,
         "mixture_docs": mixture_docs,
+        "target_encode_events": target_encode_events,
+        "quantile_bin_events": quantile_bin_events,
+        "feature_cross_events": feature_cross_events,
+        "weighted_sample_docs": weighted_sample_docs,
+        "temporal_split_events": temporal_split_events,
         "vocab_filter_docs": vocab_filter,
         "truecase_docs": truecase,
         "pii_scrub_docs": pii_scrub,

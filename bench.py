@@ -134,6 +134,8 @@ def main() -> None:
         "gopher_docs", "bm25_topk_docs", "heavy_hitters_docs", "lm_ppl_docs",
         "dup_spans_docs", "despan_docs", "rolling_median_events",
         "interval_join_events", "hist_quantile_events",
+        "target_encode_events", "quantile_bin_events", "feature_cross_events",
+        "weighted_sample_docs", "temporal_split_events",
     ]
     for name in headline:
         mk = lambda name=name: queries[name](spark, SF_DIR)

@@ -279,3 +279,94 @@ def stratified_sample_exact(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: str | list[str],
+    salt: str = "",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-k rows by
+    the A-ES / A-ExpJ priority ln(u) / w (Efraimidis-Spirakis), where u is
+    a hash-uniform in (0, 1) derived from (key, salt) — so the draw is a
+    pure function of the keys, reproducible across engines, runs, and
+    cluster sizes, and P(row in sample) is proportional to its weight.
+
+    u uses the first 13 hex digits of the salted md5 (52 bits — exact in a
+    double and in any engine's bigint), u = (v + 0.5) / 2^52, never 0 or 1.
+    Non-positive / NULL weights are excluded (zero probability mass).
+
+    Scale: sort-free distributed top-k — orderBy(desc).limit(k) compiles to
+    TakeOrderedAndProject (per-partition heaps + one k-row merge at the
+    driver), never a global sort; the priority itself is a map-side
+    expression. k must fit on the driver (it's a sample).
+
+    ``priority_col`` optionally keeps the priority in the output for
+    auditing (rounded values of it are what the driver oracle checks)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    v = F.conv(F.substring(_entity_hash(key_cols, salt), 1, 13), 16, 10).cast(
+        "double"
+    )
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 52))
+    pri = F.log(u) / w
+    out = (
+        df.where(w > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc())
+        .limit(k)
+    )
+    if priority_col is None:
+        return out.drop("_pri")
+    return out.withColumnRenamed("_pri", priority_col)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff,
+    embargo_seconds: float = 0.0,
+    entity_cols: str | list[str] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe temporal train/test split with an embargo gap: rows
+    before ``cutoff`` are 'train', rows in [cutoff, cutoff + embargo) are
+    'embargo' (quarantined — neither side may use them; they are the
+    standard guard against look-ahead leaking through trailing-window
+    features computed near the boundary), rows at/after the gap are 'test'.
+
+    With ``entity_cols``, the split is per ENTITY (the temporal analog of
+    hash_split's group integrity): an entity whose events all end before
+    the cutoff is 'train', one whose events all start at/after the embargo
+    end is 'test', and any entity STRADDLING the boundary is 'embargo'
+    entirely — it has context on both sides, so using either side leaks
+    the other. One window min/max over the entity partition (single
+    shuffle by entity, reused by any downstream per-entity op).
+    """
+    ts = F.col(ts_col)
+    cut = F.lit(cutoff).cast("timestamp")
+    gap_end = F.timestamp_micros(
+        F.unix_micros(cut) + F.lit(int(round(embargo_seconds * 1e6)))
+    )
+    if entity_cols is None:
+        label = (
+            F.when(ts < cut, "train")
+            .when(ts < gap_end, "embargo")
+            .otherwise("test")
+        )
+        return df.withColumn(out_col, label)
+    from pyspark.sql import Window
+
+    ents = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    w = Window.partitionBy(*ents)
+    lo, hi = F.min(ts).over(w), F.max(ts).over(w)
+    label = (
+        F.when(hi < cut, "train")
+        .when(lo >= gap_end, "test")
+        .otherwise("embargo")
+    )
+    return df.withColumn(out_col, label)

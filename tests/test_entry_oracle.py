@@ -89,6 +89,11 @@ HOSTILE_SUBSET = [
     "zscore_events",
     "sessionize_events",
     "stratified_sample_docs",
+    # r3 encoders/splitters: timestamp-literal cutoffs (TZ), smoothed-mean
+    # division + ln of a hash uniform (ANSI), md5-ranked top-k (collation)
+    "temporal_split_events",
+    "target_encode_events",
+    "weighted_sample_docs",
 ]
 
 
