@@ -237,6 +237,34 @@ def q_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, ["jaccard"])
 
 
+def q_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: half the corpus is the 'existing'
+    corpus whose persisted band state (minhash_band_state) is probed by
+    the other half (the ingest increment) — only the increment is
+    shingled/hashed/banded; the old corpus is touched solely by the
+    semi-join-pruned verification. Output = old-corpus pairs ∪ increment
+    pairs, which by band-collision symmetry equals the full-corpus pair
+    set — so the query shares minhash_pairs_docs' exact-Jaccard>=0.8 SQL
+    oracle (full-recall 128x32 config; equality asserted in
+    tests/test_dedup_incremental.py and value-checked here)."""
+    from feature_extraction_spark.ops.dedup import (
+        minhash_band_state,
+        minhash_lsh_dedup,
+        minhash_lsh_dedup_incremental,
+    )
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    cfg = dict(num_hashes=128, bands=32, method="oph")
+    old_pairs = minhash_lsh_dedup(old, threshold=0.8, **cfg)
+    state = minhash_band_state(old, **cfg)
+    inc_pairs, _ = minhash_lsh_dedup_incremental(
+        state, old, new, threshold=0.8, **cfg
+    )
+    return _r6(old_pairs.unionByName(inc_pairs), ["jaccard"])
+
+
 def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk-banding candidates (hamming<=15, 16 chunks x 4 bits) +
     exact-Jaccard verification; output equals the exact Jaccard>=0.8 pair
@@ -1363,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        "minhash_incremental_docs": q_minhash_incremental_docs,
         "asof_purchase": q_asof_purchase,
         "asof_purchase_broadcast": q_asof_purchase_broadcast,
         "asof_purchase_forward": q_asof_purchase_forward,
@@ -2723,6 +2752,8 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "jaccard_pairs_docs": jaccard_pairs,
         "minhash_pairs_docs": jaccard_pairs_08,
         "simhash_pairs_docs": jaccard_pairs_08,
+        # old-half pairs + increment pairs == full pair set (band symmetry)
+        "minhash_incremental_docs": jaccard_pairs_08,
         "asof_purchase": asof,
         "asof_purchase_broadcast": asof,
         "asof_purchase_forward": asof_forward,

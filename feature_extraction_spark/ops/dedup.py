@@ -222,6 +222,42 @@ def minhash_signatures_oph(
     return out
 
 
+def minhash_band_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    method: str = "khash",
+) -> DataFrame:
+    """(id, band, bucket) — the LSH band index of a corpus, i.e. the
+    persistable DEDUP STATE: bands*|corpus| rows of three longs. A pure
+    function of (text, num_hashes, bands, shingle_n, seed, method), so a
+    state written yesterday composes with bands computed today.
+
+    At scale, write it bucketed by (band, bucket)
+    (sources/io.write_bucketed): every future increment probes it with an
+    equi-join that needs NO exchange on the state side — the 100 TB corpus
+    is never re-shingled, never re-hashed, never re-shuffled; only the
+    day's increment is. See ``minhash_lsh_dedup_incremental``."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig_fn = {"khash": minhash_signatures, "oph": minhash_signatures_oph}[method]
+    sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
+    # variadic xxhash64 over the band's signature columns directly — no
+    # intermediate string build (concat_ws was ~30% of the banding stage)
+    band_buckets = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(seed))
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id",
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -236,19 +272,8 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes / bands; collision prob ~ s^(rows) per band.
     ``method``: 'khash' (classic k-hash signatures) or 'oph'
     (one-permutation, k-fold less hashing — the corpus-scale path)."""
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig_fn = {"khash": minhash_signatures, "oph": minhash_signatures_oph}[method]
-    sig = sig_fn(df, id_col, text_col, num_hashes, shingle_n, seed)
-    # variadic xxhash64 over the band's signature columns directly — no
-    # intermediate string build (concat_ws was ~30% of the banding stage)
-    band_buckets = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(seed))
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "id",
-        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    banded = minhash_band_state(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed, method
     )
     # same-keyed explicit exchange -> self-join reuses one shuffle stage
     # instead of recomputing signatures per side
@@ -290,15 +315,25 @@ def minhash_lsh_dedup(
     n = lsh_kwargs.get("shingle_n", 3)
     cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
     cands = materialize(cands, checkpoint_dir, name="minhash_candidates")
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return _verify_jaccard_pairs(cands, docs, n, threshold)
+
+
+def _verify_jaccard_pairs(
+    cands: DataFrame, docs: DataFrame, shingle_n: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (id_a, id_b) against a
+    (id, text) frame covering every candidate id. Shingles ONLY candidate
+    documents (left-semi prune); AQE broadcasts the id list when small."""
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
     sh = (
-        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        ensure_parallelism(docs)
         .join(cand_ids, on="id", how="left_semi")
-        .select("id", _shingles(text_col, n).alias("shset"))
+        .select("id", _shingles("text", shingle_n).alias("shset"))
     )
     out = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "shset": "sh_a"}), "id_a")
@@ -312,6 +347,80 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def minhash_lsh_dedup_incremental(
+    state: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    method: str = "khash",
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a corpus INCREMENT against an existing LSH band state — the
+    operating mode that matters at 100 TB: a growing corpus is never
+    re-deduplicated from scratch; each ingest batch probes the persisted
+    band index and only the batch is shingled, hashed, and banded.
+
+    ``state`` is a prior ``minhash_band_state`` output (same config —
+    signatures are pure functions of it, so states compose across runs).
+    Returns ``(pairs, new_state)``:
+
+    - ``pairs``: exact-Jaccard-verified near-dup pairs touching at least
+      one NEW doc — new-new collisions (self-join of the increment's
+      bands) plus new-old collisions (equi-join of the increment's bands
+      against the state). By band-collision symmetry,
+      ``full_corpus_pairs == old_corpus_pairs ∪ incremental_pairs`` —
+      asserted in tests/test_dedup_incremental.py.
+    - ``new_state``: ``state ∪ increment bands`` — commit it (snapshot
+      table / bucketed write) and it is next batch's ``state``.
+
+    Scale notes: the state is |corpus| x bands rows of three longs; stored
+    bucketed by (band, bucket) the probe join needs no exchange on the
+    state side, so per-batch cost is O(|increment|) work plus one
+    broadcast-or-shuffle of the increment's bands — independent of corpus
+    size. ``old_docs`` is touched only by the verification stage, which
+    left-semi prunes it to the candidate ids before shingling (reads a
+    vanishing fraction of the corpus; with the id list small, AQE turns
+    it into a broadcast probe of the text store).
+    """
+    from ..sources.snapshots import materialize
+
+    new_banded = minhash_band_state(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n, seed, method
+    )
+    new_banded = new_banded.repartition("band", "bucket")
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    nn = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    old_hit = state.withColumnsRenamed({"id": "id_old"})
+    no = (
+        new_banded.join(old_hit, on=["band", "bucket"])
+        .filter(F.col("id_old") != F.col("id"))
+        .select(
+            F.least("id", "id_old").alias("id_a"),
+            F.greatest("id", "id_old").alias("id_b"),
+        )
+    )
+    cands = nn.unionByName(no).distinct()
+    cands = materialize(cands, checkpoint_dir, name="minhash_incr_candidates")
+    docs = old_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).unionByName(
+        new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
+    pairs = _verify_jaccard_pairs(cands, docs, shingle_n, threshold)
+    new_state = state.unionByName(new_banded)
+    return pairs, new_state
 
 
 def with_simhash(
