@@ -1049,6 +1049,29 @@ def q_temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.unionByName(ent)
 
 
+def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity features: Shannon entropy / normalized entropy
+    / Gini impurity of each user's event-type distribution — two hash
+    aggregations total (ops/diversity.py), no window, no join. _r4: the
+    entropy is a sum of c*ln(c) terms (summation-order ulp)."""
+    from feature_extraction_spark.ops.diversity import categorical_entropy
+
+    out = categorical_entropy(_events(spark, sf_dir), "event_type", ["user_id"])
+    return _r4(out, ["entropy", "norm_entropy", "gini"])
+
+
+def q_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over the documents corpus: top-30 adjacent-token
+    pairs with count >= 5 by pointwise mutual information (joint/marginal
+    formulation over the bigram space — npmi guaranteed in [-1, 1]).
+    Ties broken by (w1, w2); selection uses the UNROUNDED pmi on both
+    engines; _r4 on the emitted scores."""
+    from feature_extraction_spark.ops.lm import pmi_collocations
+
+    out = pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=30)
+    return _r4(out, ["pmi", "npmi"])
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy headline query: broadcast the filtered dimension, shuffle
     only the fact tables."""
@@ -1392,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "minhash_incremental_docs": q_minhash_incremental_docs,
+        "entropy_events": q_entropy_events,
+        "pmi_docs": q_pmi_docs,
         "asof_purchase": q_asof_purchase,
         "asof_purchase_broadcast": q_asof_purchase_broadcast,
         "asof_purchase_forward": q_asof_purchase_forward,
@@ -2754,6 +2779,52 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "simhash_pairs_docs": jaccard_pairs_08,
         # old-half pairs + increment pairs == full pair set (band symmetry)
         "minhash_incremental_docs": jaccard_pairs_08,
+        # entropy identity mirrored exactly: H = ln(n) - sum(c ln c)/n
+        "entropy_events": """
+WITH pc AS (
+  SELECT user_id, event_type, count(*)::DOUBLE AS c
+  FROM events GROUP BY user_id, event_type
+), g AS (
+  SELECT user_id, sum(c) AS n, count(*) AS n_cats,
+         sum(c * ln(c)) AS clnc, sum(c * c) AS c2
+  FROM pc GROUP BY user_id
+)
+SELECT user_id, n::BIGINT AS n, n_cats,
+  round(ln(n) - clnc / n, 4) AS entropy,
+  round(CASE WHEN n_cats > 1 THEN (ln(n) - clnc / n) / ln(n_cats::DOUBLE)
+        ELSE 'nan'::DOUBLE END, 4) AS norm_entropy,
+  round(1.0 - c2 / (n * n), 4) AS gini
+FROM g
+""",
+        # PMI over the bigram space (joint + positional marginals); the
+        # top-30 cut orders by the UNROUNDED pmi, ties by (w1, w2)
+        "pmi_docs": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+), big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+  FROM (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        FROM toks WHERE len(w) >= 2)
+  GROUP BY 1, 2
+), m1 AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1),
+m2 AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY w2),
+n AS (SELECT sum(c12)::DOUBLE AS n2 FROM big),
+scored AS (
+  SELECT b.w1, b.w2, b.c12, m1.c1, m2.c2,
+    ln(b.c12 / n.n2) - ln(m1.c1 / n.n2) - ln(m2.c2 / n.n2) AS pmi_raw
+  FROM big b JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+  WHERE b.c12 >= 5
+)
+SELECT w1, w2, c12, c1::BIGINT AS c1, c2::BIGINT AS c2,
+  round(pmi_raw, 4) AS pmi,
+  round(pmi_raw / -ln(c12 / (SELECT n2 FROM n)), 4) AS npmi
+FROM scored
+ORDER BY pmi_raw DESC, w1, w2
+LIMIT 30
+""",
         "asof_purchase": asof,
         "asof_purchase_broadcast": asof,
         "asof_purchase_forward": asof_forward,

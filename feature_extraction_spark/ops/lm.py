@@ -213,3 +213,62 @@ def perplexity_filter(
     scored = with_perplexity(df, lm, text_col=text_col, id_cols=id_cols)
     keep = (~F.isnan("ppl")) & (F.col("ppl") <= F.lit(max_ppl))
     return scored.filter(keep).select(*cols)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent token pairs
+    scored by pmi = ln(p(w1,w2) / (p1(w1) * p2(w2))), plus the normalized
+    variant npmi = pmi / -ln(p(w1,w2)) — the classic collocation /
+    phrase-mining signal (Church & Hanks 1990; word2vec-style phrase
+    joining uses this statistic).
+
+    All three probabilities live in the SAME space — the bigram
+    distribution: p(w1,w2) = c12/N, p1/p2 are its positional marginals
+    (count of the word as a first/second element over N). That is the
+    joint/marginal formulation under which npmi is GUARANTEED in [-1, 1]
+    (with unigram-space marginals the bound fails whenever tokens are
+    near-exclusive to one pair). It also makes the plan minimal: one
+    row-locally-zipped bigram aggregation over the corpus, two tiny
+    re-aggregations of the (vocabulary-sized) pair table for the
+    marginals, scalar total broadcast via crossJoin — the corpus is
+    scanned and shuffled exactly once. The ``min_count`` filter only
+    prunes which pairs are emitted (rare pairs have unreliably large PMI —
+    the standard guard); marginals and the total always use the full
+    stream.
+
+    ``top_k``: optionally keep the k highest-PMI pairs (ties broken by
+    (w1, w2)) via TakeOrderedAndProject — never a global sort.
+    """
+    d = _doc_words(df, text_col)
+    big = (
+        d.select(F.explode(_bigram_pairs()).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    m1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    m2 = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n2 = big.agg(F.sum("c12").cast("double").alias("_n2"))
+    out = (
+        big.filter(F.col("c12") >= min_count)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(n2))
+    )
+    lp12 = F.log(F.col("c12") / F.col("_n2"))
+    pmi = lp12 - F.log(F.col("c1") / F.col("_n2")) - F.log(F.col("c2") / F.col("_n2"))
+    out = out.select(
+        "w1", "w2", "c12", "c1", "c2",
+        pmi.alias("pmi"),
+        (pmi / -lp12).alias("npmi"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("pmi").desc(), F.col("w1"), F.col("w2")
+        ).limit(top_k)
+    return out
