@@ -1049,6 +1049,22 @@ def q_temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.unionByName(ent)
 
 
+def q_bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword tokenizer trained ON the corpus (20 merges, Sennrich
+    2016 word-level algorithm) and applied back to it: per-doc word /
+    BPE-token / OOV counts. The merge loop mutates only the word-vocab
+    table (dimension-sized; the corpus is scanned once), so this is the
+    100 TB-feasible trainer shape. Iterative by nature — rows-only driver
+    check by design (same contract as LDA); the merge sequence and final
+    segmentations are value-asserted against a pure-Python reference in
+    tests/test_bpe.py."""
+    from feature_extraction_spark.ops.bpe import apply_bpe, train_bpe
+
+    d = _docs(spark, sf_dir)
+    _, word_seg = train_bpe(d, num_merges=20)
+    return apply_bpe(d, word_seg)
+
+
 def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-diversity features: Shannon entropy / normalized entropy
     / Gini impurity of each user's event-type distribution — two hash
@@ -1416,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "minhash_incremental_docs": q_minhash_incremental_docs,
         "entropy_events": q_entropy_events,
+        "bpe_tokens_docs": q_bpe_tokens_docs,
         "pmi_docs": q_pmi_docs,
         "asof_purchase": q_asof_purchase,
         "asof_purchase_broadcast": q_asof_purchase_broadcast,
