@@ -315,7 +315,9 @@ def weighted_sample(
     u = (v + F.lit(0.5)) / F.lit(float(1 << 52))
     pri = F.log(u) / w
     out = (
-        df.where(w > 0)
+        # filter on the RAW column (no cast) so the predicate pushes down
+        # to the parquet scan; the double cast exists only in the priority
+        df.where(F.col(weight_col) > 0)
         .withColumn("_pri", pri)
         .orderBy(F.col("_pri").desc())
         .limit(k)

@@ -220,6 +220,7 @@ def pmi_collocations(
     text_col: str = "text",
     min_count: int = 5,
     top_k: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Pointwise-mutual-information collocations: adjacent token pairs
     scored by pmi = ln(p(w1,w2) / (p1(w1) * p2(w2))), plus the normalized
@@ -243,7 +244,15 @@ def pmi_collocations(
 
     ``top_k``: optionally keep the k highest-PMI pairs (ties broken by
     (w1, w2)) via TakeOrderedAndProject — never a global sort.
+
+    The pair table has FOUR consumers (the emit filter, both marginals,
+    the total); left lazy, each would re-run the corpus explode+agg, so it
+    is materialized once at construction (vocabulary-sized; localCheckpoint
+    by default, snapshot-committed with ``checkpoint_dir`` — the same
+    contract as the LSH candidate set, ops/dedup.py).
     """
+    from ..sources.snapshots import materialize
+
     d = _doc_words(df, text_col)
     big = (
         d.select(F.explode(_bigram_pairs()).alias("p"))
@@ -251,6 +260,7 @@ def pmi_collocations(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
+    big = materialize(big, checkpoint_dir, name="pmi_pairs")
     m1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     m2 = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
     n2 = big.agg(F.sum("c12").cast("double").alias("_n2"))

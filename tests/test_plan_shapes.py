@@ -219,3 +219,72 @@ def test_verbosity_stats_no_object_aggregate(spark, turns):
     )
     assert "ObjectHashAggregate" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_target_encoder_apply_broadcast_no_fact_shuffle(spark, turns):
+    """Applying a fitted target encoder is a broadcast join: the fact table
+    reaches the output with ZERO hash exchanges of its own (the encoder's
+    fit aggregation owns the only shuffles, over the train slice)."""
+    from feature_extraction_spark.ops.encode import (
+        apply_target_encoder,
+        fit_target_encoder,
+    )
+
+    enc = fit_target_encoder(turns, "role", "turn_idx")
+    out = apply_target_encoder(turns.select("conv_id", "role"), enc, "role")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # fit path: per-category hash agg (2 exchanges: partial->final over
+    # role) — the fact side itself must contribute none
+    before_join = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert SHUFFLE not in before_join, plan
+
+
+def test_quantile_bin_apply_no_fact_shuffle(spark, turns):
+    """Bucketing against fitted edges is map-only on the fact side: the
+    broadcast edge array is the only thing exchanged."""
+    from feature_extraction_spark.ops.encode import (
+        apply_quantile_bins,
+        fit_quantile_bins,
+    )
+
+    edges = fit_quantile_bins(turns, "turn_idx", n_bins=4)
+    out = apply_quantile_bins(turns.select("conv_id", "turn_idx"), edges, "turn_idx")
+    plan = _plan(out)
+    assert SHUFFLE not in plan, plan  # single-partition agg + broadcast only
+
+
+def test_feature_cross_zero_shuffle(spark, turns):
+    """The hashed cross is a pure per-row projection over the scan."""
+    from feature_extraction_spark.ops.encode import feature_cross
+
+    out = feature_cross(turns.select("conv_id", "role"), ["conv_id", "role"], 64)
+    plan = _plan(out)
+    assert SHUFFLE not in plan and "Exchange" not in plan, plan
+
+
+def test_weighted_sample_take_ordered(spark, turns):
+    """A-ES top-k compiles to TakeOrderedAndProject (per-partition heaps),
+    never a global Sort + Limit."""
+    from feature_extraction_spark.ops.chunk import weighted_sample
+
+    out = weighted_sample(turns, "turn_idx", 10, "conv_id")
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan, plan
+
+
+def test_pmi_single_corpus_shuffle(spark, turns):
+    """PMI: the corpus-grain bigram stream is aggregated once; every later
+    exchange operates on the vocabulary-sized pair table."""
+    from feature_extraction_spark.ops.lm import pmi_collocations
+
+    docs = turns.select(F.col("turn_idx").alias("doc_id"), F.col("text"))
+    out = pmi_collocations(docs, min_count=2)
+    plan = _plan(out)
+    # the pair table is materialized at construction; every consumer (emit
+    # filter, both marginals, the total) reads the checkpoint, so the
+    # corpus parquet is scanned ZERO times in the final plan and exactly
+    # once overall (inside the materialization)
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Scan parquet" in plan, plan
