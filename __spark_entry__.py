@@ -265,6 +265,36 @@ def q_minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(old_pairs.unionByName(inc_pairs), ["jaccard"])
 
 
+def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous streaming dedup, driven through its foreachBatch upserter
+    directly (the exactly-once commit path; the availableNow stream wrapper
+    is pytest-covered): the corpus arrives as two micro-batches, each
+    probing and extending the snapshot-committed band index. The final
+    pairs snapshot equals the batch full-corpus pair set (invariant), so
+    the query is value-checked against the same exact-Jaccard>=0.8 oracle
+    as minhash_pairs_docs."""
+    import tempfile
+
+    from feature_extraction_spark.sources.snapshots import (
+        last_committed_version,
+        read_snapshot,
+    )
+    from feature_extraction_spark.streaming.dedup import make_dedup_upserter
+
+    d = _docs(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="stream_dedup_state_")
+    up = make_dedup_upserter(
+        state, threshold=0.8, num_hashes=128, bands=32, method="oph"
+    )
+    up(d.filter(F.col("doc_id") % 2 == 0), 0)
+    up(d.filter(F.col("doc_id") % 2 == 1), 1)
+    pairs_t = f"{state}/pairs"
+    out = read_snapshot(
+        spark, pairs_t, last_committed_version(spark, pairs_t)
+    )
+    return _r6(out, ["jaccard"])
+
+
 def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk-banding candidates (hamming<=15, 16 chunks x 4 bits) +
     exact-Jaccard verification; output equals the exact Jaccard>=0.8 pair
@@ -1431,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "minhash_incremental_docs": q_minhash_incremental_docs,
+        "stream_dedup_docs": q_stream_dedup_docs,
         "entropy_events": q_entropy_events,
         "bpe_tokens_docs": q_bpe_tokens_docs,
         "pmi_docs": q_pmi_docs,
@@ -2796,6 +2827,8 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "simhash_pairs_docs": jaccard_pairs_08,
         # old-half pairs + increment pairs == full pair set (band symmetry)
         "minhash_incremental_docs": jaccard_pairs_08,
+        # streaming pairs snapshot == batch pair set (prefix invariant)
+        "stream_dedup_docs": jaccard_pairs_08,
         # entropy identity mirrored exactly: H = ln(n) - sum(c ln c)/n
         "entropy_events": """
 WITH pc AS (
