@@ -113,7 +113,10 @@ def main() -> None:
         return best
 
     pipe = flagship_pipeline(t)
-    pipeline_sec = _timed(pipe, warmups=2, reps=3)
+    # 5 reps (not 3): the headline number must survive this box's
+    # multi-minute neighbor spikes — observed min-of-3 catching 23 s for a
+    # 4.6 s steady-state plan when all three reps landed inside one spike
+    pipeline_sec = _timed(pipe, warmups=2, reps=5)
     out_rows = n_turns  # left-outer join preserves turn grain
     timings["flagship_pipeline"] = round(pipeline_sec, 3)
     # progress to stderr only — the driver parses the single stdout JSON line

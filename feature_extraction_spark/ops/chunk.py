@@ -316,8 +316,11 @@ def weighted_sample(
     pri = F.log(u) / w
     out = (
         # filter on the RAW column (no cast) so the predicate pushes down
-        # to the parquet scan; the double cast exists only in the priority
-        df.where(F.col(weight_col) > 0)
+        # to the parquet scan; the double cast exists only in the priority.
+        # The explicit NaN guard matters: Spark orders NaN LARGER than any
+        # number, so `NaN > 0` passes and a NaN priority would sort to the
+        # TOP of the sample (defect class (c), verify skill notes)
+        df.where((F.col(weight_col) > 0) & ~F.isnan(w))
         .withColumn("_pri", pri)
         .orderBy(F.col("_pri").desc())
         .limit(k)
@@ -355,8 +358,10 @@ def temporal_split(
         F.unix_micros(cut) + F.lit(int(round(embargo_seconds * 1e6)))
     )
     if entity_cols is None:
+        # NULL ts -> NULL split (visible no-signal), never a silent 'test'
         label = (
-            F.when(ts < cut, "train")
+            F.when(ts.isNull(), F.lit(None).cast("string"))
+            .when(ts < cut, "train")
             .when(ts < gap_end, "embargo")
             .otherwise("test")
         )
@@ -366,8 +371,11 @@ def temporal_split(
     ents = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
     w = Window.partitionBy(*ents)
     lo, hi = F.min(ts).over(w), F.max(ts).over(w)
+    # min/max skip NULL ts; an entity with NO timestamp at all has NULL
+    # bounds -> NULL split (not a silent 'embargo')
     label = (
-        F.when(hi < cut, "train")
+        F.when(hi.isNull(), F.lit(None).cast("string"))
+        .when(hi < cut, "train")
         .when(lo >= gap_end, "test")
         .otherwise("embargo")
     )

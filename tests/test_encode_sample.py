@@ -125,11 +125,33 @@ def test_weighted_sample_determinism_and_bias(spark):
 
 
 def test_weighted_sample_excludes_nonpositive(spark):
+    """Zero/negative/NULL/NaN weights carry no probability mass. The NaN
+    case is the sharp one: Spark orders NaN above every number, so an
+    unguarded `w > 0` filter admits it and its NaN priority would sort to
+    the TOP of the sample."""
     df = spark.createDataFrame(
-        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)], "id bigint, w double"
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0), (5, float("nan"))],
+        "id bigint, w double",
     )
     out = weighted_sample(df, "w", 10, "id").toPandas()
     assert sorted(out["id"]) == [4]
+
+
+def test_temporal_split_null_ts_is_null_split(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, None), (3, None), (4, "2024-01-09 00:00:00")],
+        "uid bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = temporal_split(df, "ts", "2024-01-05 00:00:00").toPandas().set_index("uid")
+    assert pd.isna(row.loc[2, "split"]) and pd.isna(row.loc[3, "split"])
+    assert row.loc[1, "split"] == "train" and row.loc[4, "split"] == "test"
+    # entity mode: uid 2/3 have no timestamps at all -> NULL split; an
+    # entity with SOME timestamps is labeled from the non-null bounds
+    ent = temporal_split(
+        df, "ts", "2024-01-05 00:00:00", entity_cols="uid"
+    ).toPandas().set_index("uid")
+    assert pd.isna(ent.loc[2, "split"]) and pd.isna(ent.loc[3, "split"])
+    assert ent.loc[1, "split"] == "train" and ent.loc[4, "split"] == "test"
 
 
 def test_temporal_split_row_mode(spark):
