@@ -1095,6 +1095,21 @@ def q_bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe(d, word_seg)
 
 
+def q_mixture_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: per-source sampling rates realizing
+    a 40/30/20/10 token mixture over src0-src3 without upsampling (the
+    scarcest-share source binds the budget and gets rate 1.0; sources
+    outside the spec get 0). Rates are pure functions of exact integer
+    token counts — the oracle replays the arithmetic."""
+    from feature_extraction_spark.ops.chunk import mixture_rates
+
+    out = mixture_rates(
+        _docs(spark, sf_dir), "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+    return out
+
+
 def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-diversity features: Shannon entropy / normalized entropy
     / Gini impurity of each user's event-type distribution — two hash
@@ -1463,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_docs": q_minhash_incremental_docs,
         "stream_dedup_docs": q_stream_dedup_docs,
         "entropy_events": q_entropy_events,
+        "mixture_rates_docs": q_mixture_rates_docs,
         "bpe_tokens_docs": q_bpe_tokens_docs,
         "pmi_docs": q_pmi_docs,
         "asof_purchase": q_asof_purchase,
@@ -2829,6 +2845,27 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "minhash_incremental_docs": jaccard_pairs_08,
         # streaming pairs snapshot == batch pair set (prefix invariant)
         "stream_dedup_docs": jaccard_pairs_08,
+        # token-budget mixture rates: same tokenizer as the chunker (no
+        # lower()), budget = min over specified groups of tokens/share
+        "mixture_rates_docs": """
+WITH t AS (
+  SELECT source, count(*) AS n_docs,
+    sum(len(list_filter(str_split_regex(coalesce(text, ''), '\\s+'),
+                        x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT *, CASE source WHEN 'src0' THEN 0.4::DOUBLE
+                        WHEN 'src1' THEN 0.3::DOUBLE
+                        WHEN 'src2' THEN 0.2::DOUBLE
+                        WHEN 'src3' THEN 0.1::DOUBLE
+            ELSE NULL END AS share
+  FROM t
+), b AS (SELECT min(n_tokens / share) AS budget FROM s WHERE share > 0)
+SELECT source, n_docs, n_tokens, round(share, 6) AS share,
+  round(CASE WHEN share IS NULL OR share <= 0 THEN 0.0
+        ELSE share * b.budget / n_tokens END, 6) AS rate
+FROM s CROSS JOIN b
+""",
         # entropy identity mirrored exactly: H = ln(n) - sum(c ln c)/n
         "entropy_events": """
 WITH pc AS (

@@ -140,6 +140,7 @@ def main() -> None:
         "target_encode_events", "quantile_bin_events", "feature_cross_events",
         "weighted_sample_docs", "temporal_split_events",
         "minhash_incremental_docs", "entropy_events", "pmi_docs",
+        "mixture_rates_docs",
     ]
     for name in headline:
         mk = lambda name=name: queries[name](spark, SF_DIR)

@@ -380,3 +380,60 @@ def temporal_split(
         .otherwise("embargo")
     )
     return df.withColumn(out_col, label)
+
+
+def mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Token-budget mixture planning: the per-group sampling rates that
+    realize a target token mixture WITHOUT upsampling — the missing step
+    between "we want 40% src0 / 30% src1 / ..." and ``mixture_sample``'s
+    rate table.
+
+    With tok_g = whitespace tokens in group g and normalized shares s_g,
+    the largest feasible total is T = min_g tok_g / s_g (the scarcest
+    group relative to its share binds the budget); rate_g = s_g * T /
+    tok_g, so rate = 1.0 exactly for the binding group and < 1 elsewhere.
+    Groups absent from ``target_shares`` get rate 0 (excluded — the same
+    explicit-spec contract as mixture_sample). One hash aggregation over
+    the corpus + one unpartitioned window over the |groups| rows; rates
+    are a pure function of exact integer token counts, reproducible by
+    any engine (the driver oracle replays the same arithmetic).
+
+    Returns one row per group present in the data:
+    ``(group_col, n_docs, n_tokens, share, rate)``.
+    """
+    from pyspark.sql import Window
+
+    total = sum(target_shares.values())
+    if total <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+    shares = {g: s / total for g, s in target_shares.items()}
+    share_col = F.lit(None).cast("double")
+    for g, s in shares.items():
+        share_col = F.when(F.col(group_col) == g, F.lit(s)).otherwise(share_col)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens_expr(F.coalesce(F.col(text_col), F.lit(""))))).alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.partitionBy()
+    with_share = agg.withColumn("share", share_col)
+    budget = F.min(
+        F.when(F.col("share") > 0, F.col("n_tokens") / F.col("share"))
+    ).over(w)
+    rate = F.when(
+        F.col("share").isNull() | (F.col("share") <= 0), F.lit(0.0)
+    ).otherwise(F.col("share") * budget / F.col("n_tokens"))
+    return with_share.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round("share", decimals).alias("share"),
+        F.round(rate, decimals).alias("rate"),
+    )

@@ -209,3 +209,38 @@ def test_temporal_split_no_leakage_boundary(spark):
             & (F.unix_micros("ts") < F.unix_micros(F.lit(cut).cast("timestamp")) + int(emb * 1e6))
         ).count()
         assert bad_train == 0 and bad_test == 0
+
+
+def test_mixture_rates_math_and_composition(spark):
+    from feature_extraction_spark.ops.chunk import mixture_rates, mixture_sample
+
+    rows = []
+    did = 0
+    for g, n_docs, words in [("a", 400, 10), ("b", 200, 5), ("c", 100, 2)]:
+        for _ in range(n_docs):
+            rows.append((did, g, " ".join(["w"] * words)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    # tokens: a=4000, b=1000, c=200; shares a:0.5 b:0.25 c:0.25
+    out = mixture_rates(df, "source", {"a": 0.5, "b": 0.25, "c": 0.25}).toPandas().set_index("source")
+    # budget T = min(4000/.5, 1000/.25, 200/.25) = 800 (c binds)
+    assert out.loc["c", "rate"] == 1.0
+    assert abs(out.loc["a", "rate"] - 0.5 * 800 / 4000) < 1e-9
+    assert abs(out.loc["b", "rate"] - 0.25 * 800 / 1000) < 1e-9
+    assert set(out["n_tokens"]) == {4000, 1000, 200}
+    # group absent from the spec -> rate 0
+    out2 = mixture_rates(df, "source", {"a": 1.0}).toPandas().set_index("source")
+    assert out2.loc["b", "rate"] == 0.0 and out2.loc["c", "rate"] == 0.0
+    assert out2.loc["a", "rate"] == 1.0
+    # composition: realized token mixture approximates the target
+    rates = {g: float(r) for g, r in out["rate"].items()}
+    kept = mixture_sample(df, "source", rates, key_cols="doc_id", salt="mr")
+    import pyspark.sql.functions as F
+    from feature_extraction_spark.functions.text import ws_tokens_expr
+
+    tk = kept.groupBy("source").agg(
+        F.sum(F.size(ws_tokens_expr(F.col("text")))).alias("t")
+    ).toPandas().set_index("source")["t"]
+    tot = tk.sum()
+    assert abs(tk.get("a", 0) / tot - 0.5) < 0.12
+    assert abs(tk.get("c", 0) / tot - 0.25) < 0.12
