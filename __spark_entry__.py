@@ -273,6 +273,7 @@ def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs snapshot equals the batch full-corpus pair set (invariant), so
     the query is value-checked against the same exact-Jaccard>=0.8 oracle
     as minhash_pairs_docs."""
+    import shutil
     import tempfile
 
     from feature_extraction_spark.sources.snapshots import (
@@ -283,16 +284,23 @@ def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     state = tempfile.mkdtemp(prefix="stream_dedup_state_")
-    up = make_dedup_upserter(
-        state, threshold=0.8, num_hashes=128, bands=32, method="oph"
-    )
-    up(d.filter(F.col("doc_id") % 2 == 0), 0)
-    up(d.filter(F.col("doc_id") % 2 == 1), 1)
-    pairs_t = f"{state}/pairs"
-    out = read_snapshot(
-        spark, pairs_t, last_committed_version(spark, pairs_t)
-    )
-    return _r6(out, ["jaccard"])
+    try:
+        up = make_dedup_upserter(
+            state, threshold=0.8, num_hashes=128, bands=32, method="oph"
+        )
+        up(d.filter(F.col("doc_id") % 2 == 0), 0)
+        up(d.filter(F.col("doc_id") % 2 == 1), 1)
+        pairs_t = f"{state}/pairs"
+        out = read_snapshot(
+            spark, pairs_t, last_committed_version(spark, pairs_t)
+        )
+        # pin the (tiny) pair set driver-side so the state dir can be
+        # removed immediately — repeated driver/bench invocations no
+        # longer leak one mkdtemp per call
+        final = _r6(out, ["jaccard"])
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
 
 
 def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,6 +789,38 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-index IVF probe (the serving path ivf_topk lacks: build
+    once, probe many): build_ann_index snapshot-commits the centroids and
+    writes assignments partitioned by ivf_cluster; ivf_topk_indexed then
+    reads only the probed partitions — no Lloyd jobs, no assignment
+    re-scan, partition pruning on the cluster filter (plan-asserted in
+    tests/test_plan_shapes.py). Run full-probe here (nprobe=n_centroids) so
+    the output is exactly the brute-force cosine top-k and shares its
+    oracle; the tiny result is pinned driver-side so the temp index dir is
+    removed immediately (no per-invocation leak)."""
+    import shutil
+    import tempfile
+
+    from feature_extraction_spark.ops.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ann_index(emb, idx, n_centroids=8, iters=1, seed=42)
+        out = ivf_topk_indexed(
+            spark, idx, [float(x) for x in qvec], k=10, nprobe=8
+        )
+        final = out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 _TIMING_COLS = [
     "segments_max", "segments_min", "segments_mean", "segments_med", "segments_std",
     "wps_max", "wps_min", "wps_mean", "wps_med", "wps_std",
@@ -928,6 +968,30 @@ def q_bmp_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
         "mean_r", "mean_g", "mean_b",
+    )
+
+
+def q_wav_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path (the WAV sibling of bmp_stats_media): a
+    deterministic RIFF/WAVE PCM-16 mono table (encoder:
+    ops/multimodal.encode_wav — canonical 44-byte header) is decoded
+    frame-for-frame in an Arrow-batched mapInPandas kernel (decode_wav,
+    chunk-walking numpy parser) and reduced to duration/peak/RMS/mean
+    stats. The DuckDB oracle re-derives every statistic from the synthetic
+    sample formula alone, so a value match proves both halves of the codec
+    round-trip real PCM frames."""
+    from feature_extraction_spark.ops.multimodal import (
+        extract_wav_stats,
+        synth_media_wav,
+    )
+
+    media = synth_media_wav(spark, n=100)
+    return extract_wav_stats(media).select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        "duration_ms", "peak", "rms", "mean_amp",
     )
 
 
@@ -1093,6 +1157,40 @@ def q_bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     _, word_seg = train_bpe(d, num_merges=20)
     return apply_bpe(d, word_seg)
+
+
+# Frozen BPE merge list: train_bpe(documents@sf0.01, num_merges=20) output,
+# pinned as a literal so bpe_apply_docs is a pure (non-iterative) query with
+# a value-level DuckDB oracle — the realistic serving shape (tokenizer
+# trained once, applied everywhere).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+]
+
+
+def q_bpe_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side BPE with a FROZEN merge list (the registry's answer to
+    bpe_tokens_docs being rows-only: training is iterative, application is
+    one explode + equi-join and fully SQL-expressible). The segmentation
+    table is built by replaying the 20 frozen merges over the corpus
+    vocabulary RESTRICTED to words < 'm' — the other half of the vocabulary
+    deliberately hits apply_bpe's char-fallback path (len+1 tokens,
+    counted as OOV) so the fallback is value-checked too. Oracle replays
+    the identical left-to-right non-overlapping fold per merge via
+    list_reduce with a string accumulator."""
+    from feature_extraction_spark.ops.bpe import (
+        apply_bpe,
+        segment_words,
+        word_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    vocab = word_counts(d).filter(F.col("word") < "m").select("word")
+    seg = segment_words(vocab, _BPE_MERGES)
+    return apply_bpe(d, seg)
 
 
 def q_mixture_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,7 +1562,46 @@ def q_hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER IS THE DRIVER'S COVERAGE WINDOW: the driver writes
+    # correctness rows for only the first 50 entries. Round-4 rotation
+    # (VERDICT r3 "Next round" #1): the 25 queries with no CORRECTNESS_r03
+    # row lead — first the 14 never driver-checked anywhere, then the 11
+    # green in r02 but rotated out of r03 — followed by round-4 additions,
+    # then the 50 already green in r03 (which therefore have a green row in
+    # r03 even when they fall outside r04's window).
     _q = {
+        # -- 14 never driver-checked (r02/r03 missed them; sim-green only)
+        "target_encode_events": q_target_encode_events,
+        "quantile_bin_events": q_quantile_bin_events,
+        "feature_cross_events": q_feature_cross_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "temporal_split_events": q_temporal_split_events,
+        "truecase_docs": q_truecase_docs,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "lda_topics_docs": q_lda_topics_docs,
+        "semdedup_emb": q_semdedup_emb,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "quality_model_docs": q_quality_model_docs,
+        "interval_join_events": q_interval_join_events,
+        "hist_quantile_events": q_hist_quantile_events,
+        # -- 11 green in r02, rotated out of r03's 50-row window
+        "tpch_q3": q_tpch_q3,
+        "cosine_topk": q_cosine_topk,
+        "knn_join": q_knn_join,
+        "lsh_topk": q_lsh_topk,
+        "neardup_pairs_emb": q_neardup_pairs_emb,
+        "neardup_pairs_emb_lsh": q_neardup_pairs_emb_lsh,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
+        "chunk_docs": q_chunk_docs,
+        "hash_split_docs": q_hash_split_docs,
+        "mixture_docs": q_mixture_docs,
+        "vocab_filter_docs": q_vocab_filter_docs,
+        # -- round-4 additions (need their first driver row)
+        "bpe_apply_docs": q_bpe_apply_docs,
+        "wav_stats_media": q_wav_stats_media,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
+        # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
         "nonverbal_docs": q_nonverbal_docs,
@@ -1515,36 +1652,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timing_stats_events": q_timing_stats_events,
         "conf_stats_events": q_conf_stats_events,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "cosine_topk": q_cosine_topk,
-        "knn_join": q_knn_join,
-        "lsh_topk": q_lsh_topk,
-        "neardup_pairs_emb": q_neardup_pairs_emb,
-        "neardup_pairs_emb_lsh": q_neardup_pairs_emb_lsh,
-        "dedup_clusters_docs": q_dedup_clusters_docs,
-        "chunk_docs": q_chunk_docs,
-        "hash_split_docs": q_hash_split_docs,
-        "mixture_docs": q_mixture_docs,
-        "target_encode_events": q_target_encode_events,
-        "quantile_bin_events": q_quantile_bin_events,
-        "feature_cross_events": q_feature_cross_events,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "temporal_split_events": q_temporal_split_events,
-        "vocab_filter_docs": q_vocab_filter_docs,
-        "truecase_docs": q_truecase_docs,
-        "pii_scrub_docs": q_pii_scrub_docs,
-        "decontaminate_docs": q_decontaminate_docs,
-        "lda_topics_docs": q_lda_topics_docs,
-        "semdedup_emb": q_semdedup_emb,
-        "stratified_sample_docs": q_stratified_sample_docs,
-        "quality_model_docs": q_quality_model_docs,
-        "interval_join_events": q_interval_join_events,
-        "hist_quantile_events": q_hist_quantile_events,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _bpe_apply_sql() -> str:
+    """DuckDB oracle for bpe_apply_docs: replays the frozen merge list with
+    the exact left-to-right non-overlapping semantics of ops/bpe.py
+    _apply_merge. Each merge is one list_reduce fold whose accumulator is
+    the space-joined symbol string (symbols are [a-z0-9]+ and '</w>'
+    concatenations — never contain a space): if the accumulator's LAST
+    symbol is `a` and the next element is `b`, the last symbol is replaced
+    by `ab`, else the element is appended — identical to the Spark
+    array-aggregate. Folds are chained per merge over the DISTINCT-word
+    vocabulary (dimension-sized), then equi-joined back to the exploded
+    corpus with the char-fallback (len+1) for words outside the < 'm'
+    segmentation table."""
+    syms = (
+        "list_append(list_transform(generate_series(1, length(word)),"
+        " i -> word[i:i]), '</w>')"
+    )
+    for a, b in _BPE_MERGES:
+        fold = (
+            f"list_reduce({syms}, (acc, x) -> CASE "
+            f"WHEN regexp_extract(acc, '[^ ]*$') = '{a}' AND x = '{b}' "
+            f"THEN regexp_replace(acc, '[^ ]*$', '{a + b}') "
+            f"ELSE acc || ' ' || x END)"
+        )
+        syms = f"str_split({fold}, ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+), vocab AS (
+  SELECT DISTINCT unnest(w) AS word FROM toks
+), seg AS (
+  SELECT word, len({syms})::BIGINT AS k FROM vocab WHERE word < 'm'
+), exploded AS (
+  SELECT doc_id, unnest(w) AS word FROM toks
+), agg AS (
+  SELECT e.doc_id, count(*) AS n_words,
+    sum(coalesce(s.k, length(e.word) + 1)) AS n_bpe,
+    sum(CASE WHEN s.k IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM exploded e LEFT JOIN seg s USING (word)
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id,
+  coalesce(a.n_words, 0)::BIGINT AS n_words,
+  coalesce(a.n_bpe, 0)::BIGINT AS n_bpe_tokens,
+  coalesce(a.n_oov, 0)::BIGINT AS n_oov_words
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
 
 _SYLL = (
     "case when length({w})=0 then 0 "
@@ -2312,16 +2476,23 @@ LIMIT 50
 """
 
     # temporal embargo split, audited in row mode (label per event ts) and
-    # entity mode (label per user from its min/max ts; straddlers embargo)
+    # entity mode (label per user from its min/max ts; straddlers embargo).
+    # NULL-ts convention mirrors ops/chunk.py temporal_split exactly: a row
+    # with NULL ts (row mode) or an entity whose EVERY ts is NULL (entity
+    # mode; min/max skip NULLs) gets a NULL split, never a silent
+    # 'test'/'embargo' — exercised by tests/test_chunk_split.py on synth
+    # data with planted NULL timestamps (testdata events have none).
     temporal_split_events = """
 WITH b AS (
   SELECT user_id,
-    CASE WHEN max(ts) < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+    CASE WHEN max(ts) IS NULL THEN NULL
+         WHEN max(ts) < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
          WHEN min(ts) >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
          ELSE 'embargo' END AS split
   FROM events GROUP BY user_id
 ), r AS (
-  SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+  SELECT CASE WHEN ts IS NULL THEN NULL
+              WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
               WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
               ELSE 'test' END AS split,
          user_id, value
@@ -2838,6 +3009,7 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "langid_docs": langid,
         "fingerprint_docs": fingerprint,
         "exact_dedup_docs": exact_dedup,
+        "bpe_apply_docs": _bpe_apply_sql(),
         "jaccard_pairs_docs": jaccard_pairs,
         "minhash_pairs_docs": jaccard_pairs_08,
         "simhash_pairs_docs": jaccard_pairs_08,
@@ -3130,6 +3302,8 @@ GROUP BY e.label, n.n_rows, e.dim
         # so its output is the exact brute-force top-k — same oracle as
         # cosine_topk. Pruned-nprobe recall stays pytest-covered.
         "ivf_topk": cosine_topk,
+        # full-probe indexed path == brute-force top-k (same trick)
+        "ivf_topk_indexed": cosine_topk,
         "multimodal_features": _multimodal_sql(),
         # real BMP codec round-trip: the oracle re-derives the channel
         # means and byte size from the synthetic pixel formula + BMP
@@ -3159,6 +3333,31 @@ SELECT media_id,
   sum((media_id * 31 + y * 17 + x * 5) % 256)::DOUBLE / count(*) AS mean_b
 FROM px
 GROUP BY media_id
+""",
+        # WAV stats re-derived from the synthetic PCM formula (never the
+        # bytes): exact int64 sums -> one IEEE division (+ one sqrt), so
+        # the doubles match bit-for-bit with no rounding
+        "wav_stats_media": """
+WITH m AS (
+  SELECT t.range AS media_id,
+         400 + t.range % 257 AS k,
+         8000 + (t.range % 4) * 4000 AS sr
+  FROM range(100) t
+), s AS (
+  SELECT m.media_id, m.k, m.sr,
+         (m.media_id * 7919 + i.range * 2654435761) % 65536 - 32768 AS v
+  FROM m CROSS JOIN range(657) i
+  WHERE i.range < m.k
+)
+SELECT media_id,
+  (44 + 2 * max(k))::BIGINT AS n_bytes,
+  max(sr)::INT AS sample_rate,
+  max(k)::BIGINT AS n_samples,
+  max(k) * 1000.0 / max(sr) AS duration_ms,
+  max(abs(v))::INT AS peak,
+  sqrt(sum(v * v)::DOUBLE / count(*)) AS rms,
+  sum(v)::DOUBLE / count(*) AS mean_amp
+FROM s GROUP BY media_id
 """,
         # granule-decomposed range join == plain BETWEEN join
         "interval_join_events": """

@@ -140,11 +140,15 @@ def main() -> None:
         "target_encode_events", "quantile_bin_events", "feature_cross_events",
         "weighted_sample_docs", "temporal_split_events",
         "minhash_incremental_docs", "entropy_events", "pmi_docs",
-        "mixture_rates_docs",
+        "mixture_rates_docs", "bpe_apply_docs", "wav_stats_media",
     ]
+    # tier-1 runs the FLAGSHIP protocol (warmups=2, min-of-5) since r4:
+    # min-of-2 left per-query regressions undetectable below ~2x on this
+    # host (r2->r3 "1.25x drift" adjudication cost a judge session); sf1
+    # (tier 2/3) is the regression tier for corpus/embedding ops.
     for name in headline:
         mk = lambda name=name: queries[name](spark, SF_DIR)
-        timings[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
+        timings[name] = round(_timed_thunk(mk, warmups=2, reps=5), 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
     # ---- tier 2: corpus ops at sf1 (10x documents) ----------------------
@@ -176,6 +180,32 @@ def main() -> None:
             timings_sf1[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
             print(f"sf1/{name}: {timings_sf1[name]:.3f}s", file=sys.stderr)
 
+    # ---- tier 3: embedding/ANN ops at 10x vectors ------------------------
+    # The sf0.1 embeddings table is 2k x 64-dim — sub-second for every
+    # similarity op, so ANN regressions hid below the noise floor. Tier 3
+    # re-times the similarity ops over a 20k-vector synthetic table
+    # (synth_embeddings: same schema, real cluster structure) alongside
+    # tier 2.
+    timings_emb: dict[str, float] = {}
+    if run_tier2:
+        from feature_extraction_spark.synth import synth_embeddings
+
+        emb_dir = "/tmp/spark_graft_bench/emb_sf1_seed11"
+        if not os.path.exists(
+            os.path.join(emb_dir, "embeddings.parquet", "_SUCCESS")
+        ):
+            synth_embeddings(spark, n_vecs=20_000, seed=11).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(emb_dir, "embeddings.parquet"))
+        tier3 = [
+            "cosine_topk", "lsh_topk", "knn_join", "ivf_topk",
+            "ivf_topk_indexed", "semdedup_emb", "neardup_pairs_emb_lsh",
+        ]
+        for name in tier3:
+            mk = lambda name=name: queries[name](spark, emb_dir)
+            timings_emb[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
+            print(f"emb10x/{name}: {timings_emb[name]:.3f}s", file=sys.stderr)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -185,7 +215,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_sf1": timings_sf1,
+                "queries_emb10x": timings_emb,
                 "sf1_docs": 50_000 if timings_sf1 else 0,
+                "emb10x_vecs": 20_000 if timings_emb else 0,
                 "sf": sf,
                 "n_turns": n_turns,
                 "pipeline_rows": out_rows,

@@ -145,6 +145,25 @@ def train_bpe(
     return merges, vocab
 
 
+def segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Build a (word, syms) segmentation table by replaying a FROZEN,
+    ordered merge list over ``words`` (any DataFrame with a ``word``
+    column; extra columns pass through). This is the apply-side artifact
+    builder when the tokenizer was trained elsewhere — no best-pair jobs,
+    no corpus scan: one chained array-aggregate pass over the
+    dimension-sized word table, materialized once at the end. Identical
+    semantics to the training loop's vocab updates (left-to-right
+    non-overlapping per merge)."""
+    out = words.withColumn("syms", _char_syms(F.col("word")))
+    for a, b in merges:
+        out = out.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+    return materialize(out, checkpoint_dir, name="bpe_seg")
+
+
 def apply_bpe(
     df: DataFrame,
     word_seg: DataFrame,

@@ -388,6 +388,7 @@ def mixture_rates(
     target_shares: dict[str, float],
     text_col: str = "text",
     decimals: int = 6,
+    strict: bool = False,
 ) -> DataFrame:
     """Token-budget mixture planning: the per-group sampling rates that
     realize a target token mixture WITHOUT upsampling — the missing step
@@ -406,6 +407,15 @@ def mixture_rates(
 
     Returns one row per group present in the data:
     ``(group_col, n_docs, n_tokens, share, rate)``.
+
+    A specified group ABSENT from the data is dropped from the output (no
+    row to attach it to) and excluded from the budget min — i.e. the
+    realized mixture is the spec renormalized over present groups. A
+    specified group present only with zero tokens binds the budget to 0
+    (nothing can be sampled at the requested mixture) and its own rate is
+    0.0, never a 0/0 NULL. Pass ``strict=True`` to instead raise when any
+    specified group is missing or token-empty — the fail-fast mode for
+    production mixture plans, at the cost of one dimension-sized collect.
     """
     from pyspark.sql import Window
 
@@ -422,13 +432,27 @@ def mixture_rates(
             "n_tokens"
         ),
     )
+    if strict:
+        # dimension-sized collect (|groups| rows) — cold-path guard only
+        present = {
+            r[0]: r[1]
+            for r in agg.select(group_col, "n_tokens").collect()
+        }
+        missing = sorted(g for g in shares if g not in present)
+        empty = sorted(g for g in shares if present.get(g) == 0)
+        if missing or empty:
+            raise ValueError(
+                f"mixture_rates: specified groups missing from data: "
+                f"{missing}; present but token-empty: {empty}"
+            )
     w = Window.partitionBy()
     with_share = agg.withColumn("share", share_col)
     budget = F.min(
         F.when(F.col("share") > 0, F.col("n_tokens") / F.col("share"))
     ).over(w)
     rate = F.when(
-        F.col("share").isNull() | (F.col("share") <= 0), F.lit(0.0)
+        F.col("share").isNull() | (F.col("share") <= 0) | (F.col("n_tokens") == 0),
+        F.lit(0.0),
     ).otherwise(F.col("share") * budget / F.col("n_tokens"))
     return with_share.select(
         group_col,

@@ -272,10 +272,15 @@ def pmi_collocations(
     )
     lp12 = F.log(F.col("c12") / F.col("_n2"))
     pmi = lp12 - F.log(F.col("c1") / F.col("_n2")) - F.log(F.col("c2") / F.col("_n2"))
+    # degenerate case: one pair holds ALL bigram mass (c12 == N) makes
+    # -ln(p12) exactly 0; the npmi limit under perfect association is 1.0
+    # (Bouma 2009 convention) — guarded so ANSI sessions don't error and
+    # non-ANSI ones don't emit NULL
+    npmi = F.when(lp12 < 0, pmi / -lp12).otherwise(F.lit(1.0))
     out = out.select(
         "w1", "w2", "c12", "c1", "c2",
         pmi.alias("pmi"),
-        (pmi / -lp12).alias("npmi"),
+        npmi.alias("npmi"),
     )
     if top_k is not None:
         out = out.orderBy(

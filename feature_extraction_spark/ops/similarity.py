@@ -247,6 +247,94 @@ def ivf_topk(
     )
 
 
+def build_ann_index(
+    df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Persist an IVF ANN index: train the coarse quantizer ONCE, then
+    write (a) the centroids as a snapshot-committed table
+    (``{index_dir}/centroids`` — versioned, so index rebuilds are atomic
+    swaps) and (b) the full assignment table partitioned by
+    ``ivf_cluster`` (``{index_dir}/assignments``). At 100 TB the index is
+    built once and probed many times: ``ivf_topk_indexed`` reads ONLY the
+    nprobe nearest partitions (partition pruning — no Lloyd jobs, no
+    re-assignment scan, no exchange) instead of re-deriving the index per
+    query the way ``ivf_train`` + ``ivf_topk`` do. Zero-norm vectors
+    (NULL cluster) land in the Hive default partition and are never
+    probed — same contract as ivf_topk, which can't rank them either."""
+    from ..sources.io import write_table
+    from ..sources.snapshots import commit_snapshot
+
+    spark = df.sparkSession
+    centroids = ivf_train(
+        df, n_centroids=n_centroids, iters=iters, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    cent_rows = [(c, [float(x) for x in v]) for c, v in enumerate(centroids)]
+    cent_df = spark.createDataFrame(
+        cent_rows, "ivf_cluster int, centroid array<double>"
+    )
+    commit_snapshot(cent_df, f"{index_dir}/centroids", mode="overwrite")
+    assigned = ivf_assign(df, centroids, vec_col=vec_col).select(
+        id_col, vec_col, "ivf_cluster"
+    )
+    write_table(
+        assigned, f"{index_dir}/assignments", partition_by=["ivf_cluster"]
+    )
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index (``build_ann_index``): centroids come
+    from the committed snapshot (n_centroids rows — driver-side rank of
+    the query against them is pure Python), and ONLY the nprobe nearest
+    assignment partitions are scanned (`ivf_cluster IN (...)` is a
+    partition filter — the plan has no Lloyd jobs and no exchange; the
+    top-k is TakeOrderedAndProject). This is the serving path that makes
+    IVF pay at scale: cost = nprobe/n_centroids of one table scan."""
+    import math
+
+    from ..sources.snapshots import last_committed_version, read_snapshot
+
+    cent_t = f"{index_dir}/centroids"
+    cents = read_snapshot(
+        spark, cent_t, last_committed_version(spark, cent_t)
+    ).collect()
+    centroids = {r["ivf_cluster"]: list(r["centroid"]) for r in cents}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else float("nan")
+
+    order = sorted(centroids, key=lambda c: -cos(query, centroids[c]))
+    probe = [int(c) for c in order[:nprobe]]
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cands = spark.read.parquet(f"{index_dir}/assignments").filter(
+        F.col("ivf_cluster").isin(probe)
+    )
+    return (
+        cands.select(F.col(id_col), cosine_expr(vec, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ------------------------------------------------- embedding near-dup pairs
 
 
@@ -260,6 +348,7 @@ def cosine_neardup_pairs(
     tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    exact_max_rows: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -267,11 +356,27 @@ def cosine_neardup_pairs(
     and the test oracle. method='lsh' (default): random-hyperplane banding
     (reuses lsh_bucket_expr) — candidates are pairs sharing a bucket in any
     of ``tables`` hash tables, then exact cosine verification; the 100 TB
-    path, where the bucket column shuffles instead of the cross join."""
+    path, where the bucket column shuffles instead of the cross join.
+
+    ``exact_max_rows`` makes misuse of the exact path fail fast: an input
+    above the bound raises (with a pointer to the LSH path) instead of
+    silently launching an O(n^2) cross join — the same fail-fast contract
+    as ops/cluster.py's driver_threshold. Set it to 0 to disable (e.g. a
+    deliberately large oracle run)."""
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
 
     if method == "exact":
+        if exact_max_rows:
+            # limit(k+1) bounds the probe: at most exact_max_rows+1 ids move
+            probe = base.select("id").limit(exact_max_rows + 1).count()
+            if probe > exact_max_rows:
+                raise ValueError(
+                    f"cosine_neardup_pairs(method='exact') on >"
+                    f"{exact_max_rows:,} rows is O(n^2) — use method='lsh' "
+                    f"(the scale path) or raise/disable exact_max_rows if "
+                    f"this is a deliberate oracle run"
+                )
         a, b = base.alias("a"), base.alias("b")
         pairs = (
             a.crossJoin(b)

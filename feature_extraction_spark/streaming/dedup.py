@@ -42,9 +42,6 @@ from feature_extraction_spark.sources.snapshots import (
     read_snapshot,
 )
 
-_PAIRS_SCHEMA = "id_a bigint, id_b bigint, jaccard double"
-
-
 def make_dedup_upserter(
     state_dir: str,
     id_col: str = "doc_id",
@@ -101,10 +98,18 @@ def make_dedup_upserter(
         old_docs = _read_or_empty(docs_t, batch).join(
             ids, on="doc_id", how="left_anti"
         )
+        # pairs schema is derived from the BATCH id type (not a hardcoded
+        # bigint DDL) so string-id corpora keep a consistent state schema
+        # from batch 1 onward
+        empty_pairs = batch.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.lit(0.0).cast("double").alias("jaccard"),
+        ).limit(0)
         old_pairs = (
             read_snapshot(spark, pairs_t, last_pairs)
             if last_pairs is not None
-            else spark.createDataFrame([], _PAIRS_SCHEMA)
+            else empty_pairs
         )
 
         new_pairs, new_bands = minhash_lsh_dedup_incremental(

@@ -372,3 +372,35 @@ def synth_documents(
         ).alias("source"),
         F.length(text).cast("bigint").alias("n_chars"),
     )
+
+
+def synth_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 20_000,
+    dim: int = 64,
+    n_labels: int = 16,
+    seed: int = 11,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic embeddings table matching the testdata shape
+    ``(vec_id, embedding float[], label)`` — pure function of
+    (seed, vec_id), generated distributively (spark.range + hash
+    expressions, zero shuffles), for bench tiers above the fixed sf0.1
+    parquet. Vectors carry real cluster structure (per-label hash-derived
+    centers in [-2, 2) per dim + per-vector noise) so IVF/LSH/SemDeDup
+    exercise their pruning rather than a degenerate uniform cloud."""
+    base = spark.range(n_vecs, numPartitions=partitions)
+    label = F.pmod(F.col("id"), F.lit(n_labels)).cast("int")
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    emb = F.transform(
+        dims,
+        lambda d: (
+            (_u(seed, "center", label, d) * 4.0 - 2.0)
+            + (_u(seed, "noise", F.col("id"), d) - 0.5)
+        ).cast("float"),
+    )
+    return base.select(
+        F.col("id").alias("vec_id"),
+        emb.alias("embedding"),
+        label.alias("label"),
+    )

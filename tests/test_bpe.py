@@ -109,3 +109,20 @@ def test_apply_consistent_with_training_corpus(corpus):
         assert r["n_words"] == len(words)
         assert r["n_bpe_tokens"] == sum(len(seg[w]) for w in words)
         assert r["n_oov_words"] == 0
+
+
+def test_segment_words_matches_training_segmentation(spark, corpus):
+    """Replaying the LEARNED merge list with segment_words over the same
+    vocabulary reproduces train_bpe's final word_seg exactly — the
+    apply-side artifact builder is semantics-identical to the trainer's
+    vocab updates."""
+    from feature_extraction_spark.ops.bpe import segment_words, word_counts
+
+    df, _ = corpus
+    merges, word_seg = train_bpe(df, num_merges=12)
+    replay = segment_words(
+        word_counts(df).select("word"), [(a, b) for a, b, _ in merges]
+    )
+    exp = {r["word"]: list(r["syms"]) for r in word_seg.collect()}
+    got = {r["word"]: list(r["syms"]) for r in replay.collect()}
+    assert got == exp

@@ -244,3 +244,26 @@ def test_mixture_rates_math_and_composition(spark):
     tot = tk.sum()
     assert abs(tk.get("a", 0) / tot - 0.5) < 0.12
     assert abs(tk.get("c", 0) / tot - 0.25) < 0.12
+
+
+def test_mixture_rates_strict_raises_on_missing_or_empty(spark):
+    from feature_extraction_spark.ops.chunk import mixture_rates
+
+    df = spark.createDataFrame(
+        [(1, "a", "one two"), (2, "b", ""), (3, "a", "three")],
+        "doc_id bigint, source string, text string",
+    )
+    # 'c' absent entirely; 'b' present but token-empty
+    with pytest.raises(ValueError, match=r"missing.*\['c'\]"):
+        mixture_rates(df, "source", {"a": 0.5, "c": 0.5}, strict=True)
+    with pytest.raises(ValueError, match=r"token-empty: \['b'\]"):
+        mixture_rates(df, "source", {"a": 0.5, "b": 0.5}, strict=True)
+    # non-strict: token-empty specified group binds budget to 0 with
+    # rate 0.0 (never a 0/0 NULL); absent group is dropped
+    out = {
+        r["source"]: r
+        for r in mixture_rates(df, "source", {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert out["b"]["rate"] == 0.0 and out["a"]["rate"] == 0.0
+    out2 = mixture_rates(df, "source", {"a": 0.5, "c": 0.5}).collect()
+    assert sorted(r["source"] for r in out2) == ["a", "b"]

@@ -444,3 +444,60 @@ def test_bmp_stats_distributed_matches_numpy(spark):
         assert r.mean_b == px[:, :, 0].sum() / (w * h)
         assert r.mean_g == px[:, :, 1].sum() / (w * h)
         assert r.mean_r == px[:, :, 2].sum() / (w * h)
+
+
+def test_wav_codec_roundtrip_and_validation():
+    import numpy as np
+    import pytest as _pt
+
+    from feature_extraction_spark.ops.multimodal import (
+        _synth_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    s = _synth_samples(7, 123)
+    blob = encode_wav(s, 16000)
+    back, sr = decode_wav(blob)
+    assert sr == 16000 and (back == s).all()
+
+    # tolerates an extra chunk before data (chunk-walking parser)
+    extra = blob[:12] + b"LIST\x04\x00\x00\x00INFO" + blob[12:]
+    back2, sr2 = decode_wav(extra)
+    assert sr2 == 16000 and (back2 == s).all()
+
+    with _pt.raises(ValueError):
+        decode_wav(b"RIFX" + blob[4:])
+    with _pt.raises(ValueError):
+        decode_wav(blob[:-10])  # truncated data chunk
+    bad = bytearray(blob)
+    bad[22] = 2  # stereo
+    with _pt.raises(ValueError):
+        decode_wav(bytes(bad))
+    with _pt.raises(ValueError):
+        encode_wav(np.zeros((2, 2), dtype=np.int16), 8000)
+
+
+def test_wav_stats_distributed_matches_numpy(spark):
+    import numpy as np
+
+    from feature_extraction_spark.ops.multimodal import (
+        _synth_samples,
+        extract_wav_stats,
+        synth_media_wav,
+    )
+
+    media = synth_media_wav(spark, n=20)
+    got = {r.media_id: r for r in extract_wav_stats(media).collect()}
+    assert len(got) == 20
+    for mid in range(20):
+        k = 400 + mid % 257
+        sr = 8000 + (mid % 4) * 4000
+        s = _synth_samples(mid, k).astype(np.int64)
+        r = got[mid]
+        assert r.n_samples == k and r.sample_rate == sr
+        assert r.n_bytes == 44 + 2 * k
+        assert r.duration_ms == k * 1000.0 / sr
+        assert r.peak == int(np.abs(s).max())
+        assert r.rms == float(np.sqrt((s * s).sum() / k))
+        assert r.mean_amp == float(s.sum() / k)

@@ -113,3 +113,36 @@ def test_query_under_hostile_session_confs(spark, con, name):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_temporal_split_oracle_null_ts_parity(spark, tmp_path):
+    """ADVICE r3: the driver testdata has zero NULL timestamps, so the
+    engine/oracle NULL-split convention was never exercised by the sweep.
+    Plant them here: events with NULL ts (row mode) and a user whose EVERY
+    ts is NULL (entity mode) must get a NULL split in BOTH engines."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 18)
+    for uid in range(6):
+        for i in range(4):
+            ts = base + dt.timedelta(days=uid, hours=6 * i)
+            # user 4: one NULL ts among real ones (row-mode NULL only);
+            # user 5: ALL ts NULL (entity-mode NULL too)
+            if uid == 5 or (uid == 4 and i == 0):
+                ts = None
+            rows.append((uid * 10 + i, uid, "click", ts, float(i)))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "ts timestamp, value double"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = QUERIES["temporal_split_events"](spark, sf).toPandas()
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    exp = c.execute(ORACLES["temporal_split_events"]).df()
+    _compare("temporal_split_events[null-ts]", got, exp)
+    # NULL-split rows exist in both modes (the guard actually fired)
+    assert got[got["split"].isna()]["mode"].nunique() == 2

@@ -141,3 +141,19 @@ def test_unsmoothed_unseen_bigram_gives_inf_not_silent_skip(spark, corpus):
     assert math.isinf(out[101])  # contains a zero-probability transition
     kept = perplexity_filter(held, lm, max_ppl=1e18)
     assert {r.doc_id for r in kept.collect()} == {100}
+
+
+def test_npmi_degenerate_single_pair_is_one(spark):
+    """One pair holding ALL bigram mass makes -ln(p12) exactly 0; the
+    guarded npmi returns the perfect-association limit 1.0 (Bouma 2009)
+    instead of NULL / an ANSI division error."""
+    from feature_extraction_spark.ops.lm import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world")], "doc_id bigint, text string"
+    )
+    out = pmi_collocations(df, min_count=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"]) == ("hello", "world")
+    assert r["pmi"] == 0.0 and r["npmi"] == 1.0

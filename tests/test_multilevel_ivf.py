@@ -156,3 +156,69 @@ def test_with_entity_keys_preserves_caller_columns(spark):
     out = with_entity_keys(df).collect()[0]
     assert out["day"] == dt.date(2024, 1, 2)  # caller's local day kept
     assert out["week"] is not None  # missing keys still derived
+
+
+def test_ann_index_persisted_probe_matches_fresh(spark, embeddings, tmp_path):
+    """build_ann_index + ivf_topk_indexed == ivf_train + ivf_topk at the
+    same (n_centroids, iters, seed, nprobe) — the persisted index changes
+    where the work happens, never the answer."""
+    from feature_extraction_spark.ops.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    idx = str(tmp_path / "ann")
+    cents = build_ann_index(embeddings, idx, n_centroids=6, iters=2, seed=42)
+    fresh_cents = ivf_train(embeddings, n_centroids=6, iters=2, seed=42)
+    assert np.allclose(np.array(cents), np.array(fresh_cents))
+
+    q = embeddings.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    q = [float(x) for x in q]
+    fresh = ivf_topk(embeddings, q, fresh_cents, k=8, nprobe=3).collect()
+    idxd = ivf_topk_indexed(spark, idx, q, k=8, nprobe=3).collect()
+    assert [r.vec_id for r in idxd] == [r.vec_id for r in fresh]
+    assert np.allclose(
+        [r.cosine for r in idxd], [r.cosine for r in fresh]
+    )
+
+
+def test_ann_index_probe_plan_prunes_partitions(spark, embeddings, tmp_path):
+    """The indexed probe's plan must contain NO Lloyd jobs and NO exchange:
+    a partition-pruned scan + projection + TakeOrderedAndProject. Partition
+    pruning is visible as the cluster filter landing in the scan's
+    PartitionFilters."""
+    from feature_extraction_spark.ops.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    idx = str(tmp_path / "ann2")
+    build_ann_index(embeddings, idx, n_centroids=6, iters=1, seed=42)
+    q = embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = ivf_topk_indexed(spark, idx, [float(x) for x in q], k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PartitionFilters: [" in plan
+    # the pruned scan reads 2 of 6 cluster partitions
+    pruned = out.select(F.countDistinct("vec_id")).collect()[0][0]
+    total = embeddings.count()
+    assert 0 < pruned < total
+
+
+def test_exact_neardup_guard_raises_on_large_input(spark):
+    from feature_extraction_spark.ops.similarity import cosine_neardup_pairs
+
+    big = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="lsh"):
+        cosine_neardup_pairs(big, method="exact", exact_max_rows=500)
+    # under the bound it runs; 0 disables the guard entirely
+    small = big.limit(10)
+    assert cosine_neardup_pairs(small, method="exact").count() >= 0
+    assert (
+        cosine_neardup_pairs(small, method="exact", exact_max_rows=0).count()
+        >= 0
+    )

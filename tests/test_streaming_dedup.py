@@ -119,3 +119,27 @@ def test_real_stream_availablenow(spark, docs, tmp_path):
     assert _state_pairs(spark, state) == _pairs_set(
         minhash_lsh_dedup(docs, threshold=0.8, **CFG)
     )
+
+
+def test_string_id_corpus_keeps_declared_pair_schema(spark, docs, tmp_path):
+    """ADVICE r3: the pairs state schema is derived from the batch id type
+    (not a hardcoded bigint DDL), so a string-id corpus commits string
+    id_a/id_b from batch 1 onward and later batches union cleanly."""
+    sdocs = docs.withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("doc_id"))
+    ).cache()
+    state = str(tmp_path / "state_str")
+    up = make_dedup_upserter(state, threshold=0.8, **CFG)
+    # batch 0 chosen to produce ZERO pairs (single doc) — the empty-pairs
+    # frame is exactly what used to pin the wrong bigint schema
+    up(sdocs.limit(1), 0)
+    t = f"{state}/pairs"
+    v0 = last_committed_version(spark, t)
+    s0 = read_snapshot(spark, t, v0)
+    assert dict(s0.dtypes)["id_a"] == "string"
+    up(sdocs, 1)
+    v1 = last_committed_version(spark, t)
+    got = read_snapshot(spark, t, v1)
+    assert dict(got.dtypes)["id_a"] == "string"
+    exp = minhash_lsh_dedup(sdocs, threshold=0.8, **CFG)
+    assert _pairs_set(got) == _pairs_set(exp)
