@@ -821,6 +821,144 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+# PQ codebook trained ONCE offline (ops/pq.pq_train over the sf0.01
+# embeddings: m=8 subspaces x k=8 centroids x dsub=8 dims, 2 Lloyd
+# iterations, centroids rounded to 4 decimals) and FROZEN as a literal —
+# the trainer is iterative (same driver contract as the BPE trainer /
+# LDA), while encode + ADC serving are pure expressions and fully
+# SQL-oracled from these exact constants.
+_PQ_CODEBOOK: list[list[list[float]]] = [
+    [[-0.0309, 0.0144, -0.0639, 0.0177, -0.1858, -0.01, -0.1008, -0.0205],
+     [-0.0591, -0.0263, -0.0873, -0.0592, 0.0752, 0.1133, 0.0125, 0.0164],
+     [0.0659, -0.0597, -0.0417, -0.0204, 0.0578, -0.1395, -0.01, 0.1212],
+     [0.111, 0.0725, 0.0682, -0.0982, 0.0102, 0.0328, -0.0453, 0.0563],
+     [-0.0525, -0.0651, 0.0488, 0.1003, -0.0331, 0.0306, 0.0262, 0.0767],
+     [0.0125, -0.0691, 0.0668, -0.0368, 0.0269, -0.0469, -0.0491, -0.1173],
+     [0.0009, 0.148, 0.02, -0.0219, -0.0884, -0.0727, 0.1034, 0.0707],
+     [0.0052, 0.1069, 0.0402, 0.1174, 0.0795, 0.0651, -0.0544, -0.08]],
+    [[-0.0335, -0.0534, 0.0041, 0.0123, 0.1055, 0.1855, 0.0378, 0.0856],
+     [-0.0124, -0.1221, 0.0183, 0.0507, -0.0062, 0.0593, -0.0367, -0.0925],
+     [-0.0842, 0.2044, 0.0316, -0.0993, 0.0616, 0.0732, 0.0235, 0.039],
+     [0.018, -0.056, 0.0747, -0.0571, -0.0174, -0.1115, -0.0271, 0.0186],
+     [-0.029, 0.0667, -0.1073, 0.1346, 0.0288, -0.0168, -0.0419, 0.0843],
+     [-0.0381, -0.0412, -0.048, -0.1305, -0.0963, 0.0486, -0.0798, 0.079],
+     [0.0557, 0.044, -0.0259, -0.0037, 0.0741, -0.0641, 0.1506, -0.0378],
+     [0.0348, 0.1346, 0.0686, 0.055, -0.1426, 0.0268, 0.0116, -0.0647]],
+    [[0.0154, 0.0943, 0.0493, -0.1271, -0.0039, 0.0827, 0.1163, -0.0373],
+     [-0.0084, 0.014, -0.0698, -0.0007, -0.0605, -0.0609, -0.0273, -0.0842],
+     [-0.0393, -0.0666, 0.094, 0.0138, 0.0797, -0.0019, -0.1181, 0.0647],
+     [0.0207, -0.0891, -0.0981, -0.0537, -0.0255, 0.0712, 0.0234, 0.1283],
+     [-0.1137, -0.0437, 0.0138, 0.1296, -0.0698, -0.1465, 0.0706, 0.1822],
+     [-0.028, 0.0828, -0.0255, 0.0993, 0.0475, 0.0508, 0.046, 0.002],
+     [0.1072, -0.0611, 0.1027, 0.0133, -0.0835, -0.0754, -0.0008, -0.0051],
+     [0.0428, 0.0512, 0.086, -0.0437, 0.1295, 0.0173, -0.0188, -0.2221]],
+    [[-0.0796, 0.0083, -0.1254, -0.0996, 0.0741, -0.0736, 0.033, -0.0194],
+     [0.0398, 0.0029, 0.0319, 0.0721, -0.0421, -0.1251, -0.0966, 0.0953],
+     [0.0382, 0.0826, -0.0807, 0.0634, 0.0208, 0.1357, 0.001, 0.027],
+     [-0.148, 0.0602, 0.0563, 0.0003, 0.0729, -0.0356, 0.0068, -0.0297],
+     [0.0924, 0.1675, 0.0602, -0.0539, -0.0215, -0.0175, 0.0139, 0.0023],
+     [-0.0337, -0.0932, 0.0303, -0.0599, 0.0402, 0.0099, -0.1055, -0.132],
+     [-0.1211, 0.0125, 0.1075, 0.0123, -0.1266, 0.1352, -0.0226, -0.0256],
+     [0.0263, -0.1023, -0.0172, 0.0554, -0.0195, -0.0166, 0.0998, -0.0204]],
+    [[0.0547, -0.0734, -0.0121, -0.0902, -0.0175, -0.0604, 0.1035, 0.0502],
+     [0.1241, 0.0048, -0.0241, 0.0457, 0.0242, 0.1252, 0.013, 0.0834],
+     [0.0115, -0.0568, -0.0871, 0.1506, 0.005, -0.057, 0.0322, -0.0396],
+     [0.0898, 0.1522, 0.0053, 0.0304, 0.0456, -0.1066, -0.0614, -0.0602],
+     [-0.0749, 0.0006, -0.0634, -0.0584, -0.0448, 0.0059, -0.126, 0.0123],
+     [-0.1101, -0.0774, -0.0051, 0.0467, 0.1262, 0.0943, 0.0183, -0.0011],
+     [0.0001, 0.0452, 0.0784, -0.064, -0.1207, 0.0543, 0.041, -0.0831],
+     [-0.0319, -0.0339, 0.1743, 0.0146, 0.0177, -0.0358, -0.0249, 0.0176]],
+    [[0.0062, -0.0282, 0.0923, -0.0561, -0.0372, 0.0419, -0.0729, 0.0226],
+     [0.0562, -0.0211, -0.0072, 0.1543, 0.0412, 0.0694, -0.0133, 0.013],
+     [-0.0645, 0.0703, -0.1321, -0.006, -0.0986, -0.0125, 0.0273, 0.0214],
+     [-0.1359, -0.098, 0.0251, 0.0674, -0.0484, -0.021, 0.0545, 0.0784],
+     [0.0441, 0.0058, 0.1039, 0.0588, -0.182, 0.0852, -0.0777, -0.1095],
+     [0.0722, 0.0442, -0.0788, -0.1004, 0.0586, -0.0454, -0.049, 0.1255],
+     [0.0104, -0.1469, -0.0401, -0.0749, 0.0772, 0.0166, 0.0321, -0.0474],
+     [-0.0139, 0.0897, 0.0481, -0.0396, 0.0073, -0.0925, 0.0778, -0.0821]],
+    [[0.0521, 0.1077, 0.0795, 0.0592, -0.0491, -0.0793, -0.0795, 0.0051],
+     [-0.0755, 0.023, -0.0314, -0.0237, -0.011, 0.0652, 0.0162, -0.1258],
+     [-0.0124, -0.0757, 0.1385, 0.0022, 0.024, -0.0657, -0.0439, -0.1105],
+     [0.0572, -0.0421, 0.0027, 0.005, -0.1102, 0.0672, 0.1055, 0.0157],
+     [-0.064, -0.0219, 0.0336, -0.0283, 0.1589, 0.0529, -0.0127, 0.0282],
+     [0.0749, 0.0823, 0.0246, -0.0379, 0.0862, -0.1123, 0.0839, 0.049],
+     [0.0872, -0.097, -0.0503, -0.0301, 0.0075, -0.0093, -0.0932, 0.0589],
+     [-0.1451, 0.0116, -0.0587, 0.0782, -0.0208, -0.0664, 0.0431, 0.0722]],
+    [[0.0806, -0.0078, -0.0521, 0.0319, 0.0433, -0.0428, 0.016, 0.0953],
+     [-0.0631, 0.2086, -0.175, -0.0534, -0.0015, -0.0028, -0.0625, 0.0445],
+     [0.0845, -0.139, -0.0122, 0.0449, -0.0307, 0.0435, -0.0437, -0.1162],
+     [-0.1107, 0.059, 0.0286, -0.0392, -0.038, -0.1285, 0.0594, 0.0744],
+     [0.0654, 0.0642, 0.03, -0.0855, -0.1264, -0.0234, 0.0212, -0.0715],
+     [-0.0473, 0.0097, 0.0689, 0.1145, -0.0076, 0.0728, 0.0014, -0.027],
+     [0.0627, 0.0394, 0.1268, -0.0822, 0.0827, 0.0609, -0.1198, -0.0654],
+     [-0.0733, -0.0583, -0.0925, -0.092, 0.023, 0.0227, 0.0319, -0.0519]],
+]
+
+# frozen ADC query vector: the sf0.01 vec_id=7 embedding rounded to 4
+# decimals (a literal, so the query is input-independent and the oracle
+# replays the identical constants)
+_PQ_QUERY: list[float] = [
+    0.3272, 0.0968, -0.018, 0.1499, -0.0529, 0.0002, -0.0486, 0.1601,
+    -0.1872, -0.0515, 0.0064, 0.001, -0.1964, -0.0986, 0.0621, -0.1702,
+    0.078, 0.1186, -0.1456, 0.039, -0.0408, 0.0453, 0.1459, 0.0534,
+    0.0244, 0.0584, -0.1702, 0.1218, -0.0478, 0.0703, 0.2955, 0.0923,
+    -0.0949, -0.128, -0.0161, -0.1245, -0.0749, -0.1525, 0.0048, 0.1447,
+    -0.0403, -0.1798, 0.0321, 0.0048, 0.0043, 0.1003, -0.0016, 0.2141,
+    -0.1536, -0.0734, 0.1365, 0.1552, -0.0175, -0.1506, -0.1168, 0.1922,
+    0.0348, 0.1196, -0.2754, -0.1176, 0.0949, 0.0215, 0.0234, -0.2172,
+]
+
+
+def q_pq_codes_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (ops/pq.py) with the frozen codebook:
+    every vector compressed to 8 subspace codes — the 32-64x working-set
+    reduction that makes corpus-wide ANN probes fit in memory at 100 TB.
+    Map-only native projection (plan-asserted in tests/test_pq_skew.py);
+    the oracle re-derives each argmin from the same centroid constants
+    with the identical smallest-index tie-break."""
+    from feature_extraction_spark.ops.pq import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = pq_encode(emb, _PQ_CODEBOOK)
+    return enc.select(
+        "vec_id",
+        *[F.col("pq_code")[j].alias(f"code_{j}") for j in range(8)],
+    )
+
+
+def q_pq_adc_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-10 over PQ codes (the PQ serving path): the
+    per-query lookup table is built driver-side from the frozen codebook +
+    query constants, scoring is m array lookups per row, and the top-k is
+    TakeOrderedAndProject. The oracle recomputes the identical lut values
+    and the identical left-to-right summation order, so doubles match
+    bit-for-bit before the 6-decimal rounding."""
+    from feature_extraction_spark.ops.pq import pq_adc_topk, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_adc_topk(
+        pq_encode(emb, _PQ_CODEBOOK), _PQ_CODEBOOK, _PQ_QUERY, k=10
+    )
+    return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight (ops/skew.py): top-10 heaviest users by event
+    count with share / skew-factor context — one map-combinable corpus
+    shuffle, windows only over the aggregated key table. The salt-factor
+    arithmetic (n / (total/nkeys)) is replayed exactly in the oracle."""
+    from feature_extraction_spark.ops.skew import skew_report
+
+    out = skew_report(_events(spark, sf_dir), ["user_id"], top_n=10)
+    return out.select(
+        "user_id",
+        "n_rows",
+        F.round("share", 6).alias("share"),
+        F.round("skew_factor", 6).alias("skew_factor"),
+        "rank",
+    )
+
+
 _TIMING_COLS = [
     "segments_max", "segments_min", "segments_mean", "segments_med", "segments_std",
     "wps_max", "wps_min", "wps_mean", "wps_med", "wps_std",
@@ -1601,6 +1739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply_docs": q_bpe_apply_docs,
         "wav_stats_media": q_wav_stats_media,
         "ivf_topk_indexed": q_ivf_topk_indexed,
+        "pq_codes_emb": q_pq_codes_emb,
+        "pq_adc_topk_emb": q_pq_adc_topk_emb,
+        "skew_report_events": q_skew_report_events,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -1657,6 +1798,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _pq_code_ctes() -> str:
+    """Shared encode CTEs for the PQ oracles: centroid VALUES from the
+    SAME frozen constants as the Spark query, per-subspace squared
+    distances with the identical left-to-right addition order, argmin via
+    row_number ordered (d, c) — exactly array_position-of-min's
+    first-match / smallest-index tie-break."""
+    cent_rows = ",\n    ".join(
+        "({}, {}, {})".format(
+            j, c, ", ".join(f"({v!r})::DOUBLE" for v in cent)
+        )
+        for j, cents in enumerate(_PQ_CODEBOOK)
+        for c, cent in enumerate(cents)
+    )
+    subsel = ", ".join(
+        f"embedding[j*8+{i}]::DOUBLE AS s{i}" for i in range(1, 9)
+    )
+    sq = " + ".join(
+        f"(s.s{i}-c.v{i})*(s.s{i}-c.v{i})" for i in range(1, 9)
+    )
+    pivots = ", ".join(
+        f"max(CASE WHEN j={j} THEN c END) AS code_{j}" for j in range(8)
+    )
+    return f"""
+WITH cent(j, c, v1, v2, v3, v4, v5, v6, v7, v8) AS (VALUES
+    {cent_rows}
+), sub AS (
+  SELECT vec_id, j, {subsel}
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS j)
+), dist AS (
+  SELECT s.vec_id, s.j, c.c, {sq} AS d
+  FROM sub s JOIN cent c ON s.j = c.j
+), ranked AS (
+  SELECT vec_id, j, c,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+  FROM dist
+), code AS (
+  SELECT vec_id, {pivots} FROM ranked WHERE rn = 1 GROUP BY vec_id
+)"""
+
+
+def _pq_codes_sql() -> str:
+    cols = ", ".join(f"code_{j}" for j in range(8))
+    return f"{_pq_code_ctes()}\nSELECT vec_id, {cols} FROM code"
+
+
+def _pq_adc_sql() -> str:
+    """ADC oracle: the lookup table is recomputed here from the SAME
+    frozen constants via ops/pq.adc_lut (shared Python — the lut literals
+    in this SQL and in the Spark plan are the same doubles), and the
+    distance is an explicit left-to-right chain over j matching the
+    zip_with/aggregate fold order, so values agree bit-for-bit before
+    rounding."""
+    from feature_extraction_spark.ops.pq import adc_lut
+
+    lut = adc_lut(_PQ_CODEBOOK, _PQ_QUERY)
+    terms = []
+    for j in range(8):
+        cases = " ".join(
+            f"WHEN {c} THEN ({lut[j][c]!r})::DOUBLE" for c in range(8)
+        )
+        terms.append(f"(CASE code_{j} {cases} END)")
+    dist = " + ".join(terms)
+    return f"""{_pq_code_ctes()}, adc AS (
+  SELECT vec_id, {dist} AS d FROM code
+)
+SELECT vec_id, round(d, 6) AS adc_dist
+FROM adc ORDER BY d ASC, vec_id LIMIT 10"""
+
+
+_SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY user_id
+), t AS (
+  SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS nkeys FROM c
+), r AS (
+  SELECT user_id, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+  FROM c
+)
+SELECT r.user_id, r.n_rows,
+       round(r.n_rows / t.total, 6) AS share,
+       round(r.n_rows / (t.total / t.nkeys), 6) AS skew_factor,
+       r.rank
+FROM r, t WHERE r.rank <= 10
+"""
 
 
 def _bpe_apply_sql() -> str:
@@ -3010,6 +3238,9 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "fingerprint_docs": fingerprint,
         "exact_dedup_docs": exact_dedup,
         "bpe_apply_docs": _bpe_apply_sql(),
+        "pq_codes_emb": _pq_codes_sql(),
+        "pq_adc_topk_emb": _pq_adc_sql(),
+        "skew_report_events": _SKEW_REPORT_SQL,
         "jaccard_pairs_docs": jaccard_pairs,
         "minhash_pairs_docs": jaccard_pairs_08,
         "simhash_pairs_docs": jaccard_pairs_08,

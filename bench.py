@@ -141,6 +141,7 @@ def main() -> None:
         "weighted_sample_docs", "temporal_split_events",
         "minhash_incremental_docs", "entropy_events", "pmi_docs",
         "mixture_rates_docs", "bpe_apply_docs", "wav_stats_media",
+        "pq_adc_topk_emb", "skew_report_events",
     ]
     # tier-1 runs the FLAGSHIP protocol (warmups=2, min-of-5) since r4:
     # min-of-2 left per-query regressions undetectable below ~2x on this
@@ -200,6 +201,7 @@ def main() -> None:
         tier3 = [
             "cosine_topk", "lsh_topk", "knn_join", "ivf_topk",
             "ivf_topk_indexed", "semdedup_emb", "neardup_pairs_emb_lsh",
+            "pq_codes_emb", "pq_adc_topk_emb",
         ]
         for name in tier3:
             mk = lambda name=name: queries[name](spark, emb_dir)
