@@ -959,6 +959,110 @@ def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR configuration shared by the Spark queries and their oracles:
+# 1024 hash buckets (small enough that the oracle CTE stays cheap, large
+# enough for real collisions), alpha=0.5 smoothing, target = source 'src0'.
+_DSIR_B = 1024
+_DSIR_SALT = "dsir-r4"
+
+
+def q_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ops/dsir.py; Xie 2023): hashed
+    unigram+bigram bucket models fit on the src0 slice vs the whole
+    corpus, per-doc log importance weight scored in one corpus pass
+    (explode -> broadcast model join -> map-combinable groupBy). The
+    oracle replays the identical md5 buckets, add-alpha smoothing over
+    the full 0..B-1 domain, and log-ratio sums."""
+    from feature_extraction_spark.ops.dsir import dsir_fit, dsir_score
+
+    docs = _docs(spark, sf_dir)
+    model = dsir_fit(
+        docs.filter(F.col("source") == "src0"),
+        docs,
+        n_buckets=_DSIR_B,
+        alpha=0.5,
+        salt=_DSIR_SALT,
+    )
+    out = dsir_score(docs, model, n_buckets=_DSIR_B, salt=_DSIR_SALT)
+    return out.select(
+        "doc_id", "n_grams", F.round("dsir_logw", 6).alias("dsir_logw")
+    )
+
+
+def q_dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling over the DSIR weights: key =
+    logw/T - ln(-ln(u)) with u the deterministic 52-bit md5 uniform —
+    sampling without replacement from softmax(logw/T), plans as
+    TakeOrderedAndProject. The oracle replays the same constants."""
+    from feature_extraction_spark.ops.dsir import (
+        dsir_fit,
+        dsir_resample,
+        dsir_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = dsir_fit(
+        docs.filter(F.col("source") == "src0"),
+        docs,
+        n_buckets=_DSIR_B,
+        alpha=0.5,
+        salt=_DSIR_SALT,
+    )
+    scored = dsir_score(docs, model, n_buckets=_DSIR_B, salt=_DSIR_SALT)
+    out = dsir_resample(scored, k=25, temperature=2.0, salt="g-r4")
+    return out.select("doc_id", F.round("gumbel_key", 6).alias("gumbel_key"))
+
+
+def q_sq8_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-int8 quantization serving path (ops/quantize.py): per-dim
+    [lo,hi] bounds fit in one pass (deterministic min/max — unlike the
+    PQ/IVF trainers this needs NO frozen constants), map-only encode to
+    one byte per dim, asymmetric L2 top-10 against the dequantized codes.
+    The oracle recomputes bounds, codes (identical op order and HALF_UP
+    rounding), and the same left-to-right distance chain."""
+    from feature_extraction_spark.ops.quantize import (
+        sq8_encode,
+        sq8_fit,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bounds = sq8_fit(emb)
+    out = sq8_topk(sq8_encode(emb, bounds), bounds, _PQ_QUERY, k=10)
+    return out.select("vec_id", F.round("sq8_dist", 6).alias("sq8_dist"))
+
+
+def q_hamming_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization + Hamming top-k (ops/quantize.py): sign
+    bits packed into 32-bit words (array<bigint> — bit 63 is never used,
+    keeping every shift cross-engine safe), distance =
+    popcount(xor) summed per word, TakeOrderedAndProject. Query words are
+    packed driver-side from the frozen _PQ_QUERY literal; ties broken by
+    vec_id."""
+    from feature_extraction_spark.ops.quantize import (
+        binary_sign_codes,
+        hamming_topk,
+        pack_sign_words,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qw = pack_sign_words(_PQ_QUERY)
+    return hamming_topk(binary_sign_codes(emb, dim=64), qw, k=15)
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed table profiler (ops/profile.py): one corpus pass ->
+    (column, value) frequency table (materialized once — plan-asserted
+    single scan), then null/distinct/modal stats per column. Double
+    columns are excluded from the driver query: Spark and DuckDB format
+    the same double differently (1e-07 vs 1.0E-7), which would make
+    top_value engine-dependent; string/int casts are identical."""
+    from feature_extraction_spark.ops.profile import profile_table
+
+    ev = _events(spark, sf_dir)
+    return profile_table(ev, ["event_type", "user_id", "props"])
+
+
 _TIMING_COLS = [
     "segments_max", "segments_min", "segments_mean", "segments_med", "segments_std",
     "wps_max", "wps_min", "wps_mean", "wps_med", "wps_std",
@@ -1742,6 +1846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes_emb": q_pq_codes_emb,
         "pq_adc_topk_emb": q_pq_adc_topk_emb,
         "skew_report_events": q_skew_report_events,
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "dsir_sample_docs": q_dsir_sample_docs,
+        "sq8_topk_emb": q_sq8_topk_emb,
+        "hamming_topk_emb": q_hamming_topk_emb,
+        "profile_events": q_profile_events,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -1885,6 +1994,145 @@ SELECT r.user_id, r.n_rows,
        r.rank
 FROM r, t WHERE r.rank <= 10
 """
+
+
+# DSIR oracles: identical md5 buckets (first 32 bits mod B), add-alpha
+# smoothing over the FULL 0..B-1 domain, log-ratio sums. The grams CTE is
+# shared: unigrams + bigrams (1-based list indexing; empty docs produce no
+# gram rows and re-enter via the final LEFT JOIN with the 0/0.0 defaults).
+_DSIR_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                w -> w <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5(unnest(
+      ws || list_transform(range(1, greatest(len(ws), 1)),
+                           i -> ws[i] || ' ' || ws[i+1])
+    ) || chr(31) || '{_DSIR_SALT}'), 1, 8) AS BIGINT) % {_DSIR_B} AS b
+  FROM toks
+), tc AS (
+  SELECT b, count(*) AS c FROM g WHERE source = 'src0' GROUP BY b
+), rc AS (
+  SELECT b, count(*) AS c FROM g GROUP BY b
+), tn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM tc),
+rn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM rc),
+dom AS (SELECT unnest(range(0, {_DSIR_B})) AS b),
+model AS (
+  SELECT dom.b,
+    ln((coalesce(tc.c, 0) + 0.5) / ((SELECT n FROM tn) + {0.5 * _DSIR_B}))
+    - ln((coalesce(rc.c, 0) + 0.5) / ((SELECT n FROM rn) + {0.5 * _DSIR_B}))
+      AS lr
+  FROM dom LEFT JOIN tc ON dom.b = tc.b LEFT JOIN rc ON dom.b = rc.b
+), sc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams, sum(m.lr) AS w
+  FROM g JOIN model m ON g.b = m.b GROUP BY g.doc_id
+), scored AS (
+  SELECT d.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+         coalesce(sc.w, 0.0) AS w
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)"""
+
+_DSIR_WEIGHTS_SQL = f"""{_DSIR_CTES}
+SELECT doc_id, n_grams, round(w, 6) AS dsir_logw FROM scored
+"""
+
+# Gumbel top-k: key = w/T - ln(-ln(u)), u = (52-bit md5 + 0.5) / 2^52 —
+# the exact expression dsir_resample builds (T=2.0, salt 'g-r4', k=25)
+_DSIR_SAMPLE_SQL = f"""{_DSIR_CTES}, keyed AS (
+  SELECT doc_id,
+    w / 2.0 - ln(-ln((CAST('0x' || substr(
+        md5(doc_id::VARCHAR || chr(31) || 'g-r4'), 1, 13)
+      AS BIGINT) + 0.5) / 4503599627370496.0)) AS k
+  FROM scored
+)
+SELECT doc_id, round(k, 6) AS gumbel_key
+FROM keyed ORDER BY k DESC, doc_id LIMIT 25
+"""
+
+
+def _sq8_topk_sql() -> str:
+    """SQ8 oracle: bounds from SQL min/max (deterministic — no frozen
+    constants needed, unlike the iterative PQ trainer), codes via the
+    IDENTICAL ((x-lo)*255)/(hi-lo) op order + HALF_UP-on-nonnegative
+    rounding, and the distance as a list_reduce over dim-ORDERED terms —
+    the same left-to-right fold sq8_topk builds, so doubles agree
+    bit-for-bit before the 6-decimal rounding."""
+    qrows = ",\n    ".join(
+        f"({i}, ({v!r})::DOUBLE)" for i, v in enumerate(_PQ_QUERY)
+    )
+    return f"""
+WITH q(dim, qv) AS (VALUES
+    {qrows}
+), e AS (
+  SELECT vec_id, i AS dim, embedding[i+1]::DOUBLE AS x
+  FROM embeddings, unnest(range(0, 64)) AS t(i)
+), b AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM e GROUP BY dim
+), c AS (
+  SELECT e.vec_id, e.dim, b.lo, b.hi,
+    CASE WHEN b.hi = b.lo THEN 0
+         ELSE least(greatest(
+             CAST(round((e.x - b.lo) * 255.0 / (b.hi - b.lo), 0) AS INT),
+             0), 255)
+    END AS code
+  FROM e JOIN b USING (dim)
+), t AS (
+  SELECT c.vec_id, c.dim,
+    (q.qv - (c.lo + code * (c.hi - c.lo) / 255.0))
+      * (q.qv - (c.lo + code * (c.hi - c.lo) / 255.0)) AS term
+  FROM c JOIN q USING (dim)
+), dist AS (
+  SELECT vec_id, list_reduce(list(term ORDER BY dim), (a, x) -> a + x) AS d
+  FROM t GROUP BY vec_id
+)
+SELECT vec_id, round(d, 6) AS sq8_dist
+FROM dist ORDER BY d ASC, vec_id LIMIT 10"""
+
+
+def _hamming_topk_sql() -> str:
+    """Binary-quantization oracle: the same 32-bit word packing (sum of
+    distinct powers == bitwise OR), xor + popcount per word against the
+    query words packed from the frozen _PQ_QUERY literal."""
+    from feature_extraction_spark.ops.quantize import pack_sign_words
+
+    q0, q1 = pack_sign_words(_PQ_QUERY)
+    word = (
+        "list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+        "embedding[i+{off}] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, {word.format(off=1)} AS w0, {word.format(off=33)} AS w1
+  FROM embeddings
+)
+SELECT vec_id,
+  (bit_count(xor(w0, ({q0})::BIGINT))
+   + bit_count(xor(w1, ({q1})::BIGINT)))::BIGINT AS hamming_dist
+FROM c ORDER BY hamming_dist ASC, vec_id LIMIT 15"""
+
+
+def _profile_events_sql() -> str:
+    """Profiler oracle: one UNION ALL branch per profiled column; the
+    modal value replays the deterministic two-step argmax (max count,
+    then MIN string value among ties)."""
+    branches = []
+    for col in ("event_type", "user_id", "props"):
+        freq = (
+            f"SELECT {col}::VARCHAR AS v, count(*) AS c FROM events "
+            f"WHERE {col} IS NOT NULL GROUP BY 1"
+        )
+        branches.append(f"""
+SELECT '{col}' AS "column", count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+  count(DISTINCT {col})::BIGINT AS n_distinct,
+  (SELECT min(v) FROM ({freq}) f
+     WHERE c = (SELECT max(c) FROM ({freq}) f2)) AS top_value,
+  (SELECT max(c) FROM ({freq}) f)::BIGINT AS top_count
+FROM events""")
+    return " UNION ALL ".join(branches)
 
 
 def _bpe_apply_sql() -> str:
@@ -3241,6 +3489,11 @@ SELECT doc_id, source FROM ranked WHERE rk <= 20
         "pq_codes_emb": _pq_codes_sql(),
         "pq_adc_topk_emb": _pq_adc_sql(),
         "skew_report_events": _SKEW_REPORT_SQL,
+        "dsir_weights_docs": _DSIR_WEIGHTS_SQL,
+        "dsir_sample_docs": _DSIR_SAMPLE_SQL,
+        "sq8_topk_emb": _sq8_topk_sql(),
+        "hamming_topk_emb": _hamming_topk_sql(),
+        "profile_events": _profile_events_sql(),
         "jaccard_pairs_docs": jaccard_pairs,
         "minhash_pairs_docs": jaccard_pairs_08,
         "simhash_pairs_docs": jaccard_pairs_08,

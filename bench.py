@@ -141,7 +141,8 @@ def main() -> None:
         "weighted_sample_docs", "temporal_split_events",
         "minhash_incremental_docs", "entropy_events", "pmi_docs",
         "mixture_rates_docs", "bpe_apply_docs", "wav_stats_media",
-        "pq_adc_topk_emb", "skew_report_events",
+        "pq_adc_topk_emb", "skew_report_events", "dsir_weights_docs",
+        "sq8_topk_emb", "hamming_topk_emb", "profile_events",
     ]
     # tier-1 runs the FLAGSHIP protocol (warmups=2, min-of-5) since r4:
     # min-of-2 left per-query regressions undetectable below ~2x on this
