@@ -1450,6 +1450,18 @@ def q_mixture_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_mixture_temp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture planning (ops/chunk.py
+    mixture_rates_temperature; the multilingual alpha-sampling rule):
+    target shares derived from the corpus as tok_g^0.3 / sum tok^0.3,
+    then the same no-upsampling budget as mixture_rates. One corpus agg +
+    windows over the |sources| rows; the oracle replays pow/budget/rate
+    arithmetic exactly."""
+    from feature_extraction_spark.ops.chunk import mixture_rates_temperature
+
+    return mixture_rates_temperature(_docs(spark, sf_dir), "source", alpha=0.3)
+
+
 def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-diversity features: Shannon entropy / normalized entropy
     / Gini impurity of each user's event-type distribution — two hash
@@ -1851,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk_emb": q_sq8_topk_emb,
         "hamming_topk_emb": q_hamming_topk_emb,
         "profile_events": q_profile_events,
+        "mixture_temp_docs": q_mixture_temp_docs,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -3519,6 +3532,25 @@ WITH t AS (
 ), b AS (SELECT min(n_tokens / share) AS budget FROM s WHERE share > 0)
 SELECT source, n_docs, n_tokens, round(share, 6) AS share,
   round(CASE WHEN share IS NULL OR share <= 0 THEN 0.0
+        ELSE share * b.budget / n_tokens END, 6) AS rate
+FROM s CROSS JOIN b
+""",
+        # temperature-derived shares: s_g = tok_g^0.3 / sum tok^0.3, then
+        # the same no-upsampling budget arithmetic as mixture_rates_docs
+        "mixture_temp_docs": """
+WITH t AS (
+  SELECT source, count(*) AS n_docs,
+    sum(len(list_filter(str_split_regex(coalesce(text, ''), '\\s+'),
+                        x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT *,
+    pow(n_tokens::DOUBLE, 0.3)
+      / (SELECT sum(pow(n_tokens::DOUBLE, 0.3)) FROM t) AS share
+  FROM t
+), b AS (SELECT min(n_tokens / share) AS budget FROM s WHERE share > 0)
+SELECT source, n_docs, n_tokens, round(share, 6) AS share,
+  round(CASE WHEN share <= 0 OR n_tokens = 0 THEN 0.0
         ELSE share * b.budget / n_tokens END, 6) AS rate
 FROM s CROSS JOIN b
 """,

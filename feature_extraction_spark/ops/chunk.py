@@ -461,3 +461,58 @@ def mixture_rates(
         F.round("share", decimals).alias("share"),
         F.round(rate, decimals).alias("rate"),
     )
+
+
+def mixture_rates_temperature(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture planning: derive the target shares FROM
+    the corpus with the multilingual alpha-sampling rule (exponentiated
+    smoothing, s_g = tok_g^alpha / sum_h tok_h^alpha — the mixing rule
+    published for mBERT/XLM-R-style multilingual pretraining; alpha=1
+    reproduces the natural mixture, alpha -> 0 approaches uniform), then
+    solve the same no-upsampling token budget as ``mixture_rates``:
+    T = min_g tok_g / s_g and rate_g = s_g * T / tok_g.
+
+    Upweighting low-resource groups means the SMALLEST group tends to
+    bind the budget (its rate is exactly 1.0) while over-represented
+    groups are down-sampled — the standard rebalancing step for a skewed
+    100 TB crawl. One hash aggregation over the corpus + unpartitioned
+    windows over the |groups| rows (dimension-sized, same shape as
+    mixture_rates). Zero-token groups get share 0 and rate 0.0 without
+    binding the budget.
+
+    Returns one row per group: ``(group_col, n_docs, n_tokens, share,
+    rate)`` — drop-in input for ``mixture_sample``.
+    """
+    from pyspark.sql import Window
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (alpha=1 = natural mixture)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(ws_tokens_expr(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    share = powed / F.sum(powed).over(w)
+    with_share = agg.withColumn("share", share)
+    budget = F.min(
+        F.when(F.col("share") > 0, F.col("n_tokens") / F.col("share"))
+    ).over(w)
+    rate = F.when(
+        (F.col("share") <= 0) | (F.col("n_tokens") == 0), F.lit(0.0)
+    ).otherwise(F.col("share") * budget / F.col("n_tokens"))
+    return with_share.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round("share", decimals).alias("share"),
+        F.round(rate, decimals).alias("rate"),
+    )

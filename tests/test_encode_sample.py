@@ -267,3 +267,47 @@ def test_mixture_rates_strict_raises_on_missing_or_empty(spark):
     assert out["b"]["rate"] == 0.0 and out["a"]["rate"] == 0.0
     out2 = mixture_rates(df, "source", {"a": 0.5, "c": 0.5}).collect()
     assert sorted(r["source"] for r in out2) == ["a", "b"]
+
+
+def test_mixture_rates_temperature_math(spark):
+    from feature_extraction_spark.ops.chunk import mixture_rates_temperature
+
+    rows = []
+    did = 0
+    for g, n_docs, words in [("a", 400, 10), ("b", 200, 5), ("c", 100, 2)]:
+        for _ in range(n_docs):
+            rows.append((did, g, " ".join(["w"] * words)))
+            did += 1
+    # plant a zero-token group: must get share 0 / rate 0 without
+    # binding the budget
+    rows.append((did, "z", ""))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = (
+        mixture_rates_temperature(df, "source", alpha=0.3)
+        .toPandas()
+        .set_index("source")
+    )
+    # tokens: a=4000, b=1000, c=200; shares from tok^0.3
+    toks = {"a": 4000.0, "b": 1000.0, "c": 200.0}
+    z = sum(t ** 0.3 for t in toks.values())
+    shares = {g: t ** 0.3 / z for g, t in toks.items()}
+    budget = min(toks[g] / shares[g] for g in toks)
+    for g in toks:
+        assert abs(out.loc[g, "share"] - shares[g]) < 1e-6
+        exp_rate = shares[g] * budget / toks[g]
+        assert abs(out.loc[g, "rate"] - exp_rate) < 1e-6
+    # temperature upweights the low-resource group: the SMALLEST group
+    # binds (rate exactly 1.0) and bigger groups are down-sampled harder
+    assert out.loc["c", "rate"] == 1.0
+    assert out.loc["a", "rate"] < out.loc["b", "rate"] < 1.0
+    assert out.loc["z", "share"] == 0.0 and out.loc["z", "rate"] == 0.0
+    # alpha=1 reproduces the natural mixture: every rate is 1.0
+    nat = (
+        mixture_rates_temperature(df, "source", alpha=1.0)
+        .toPandas()
+        .set_index("source")
+    )
+    for g in toks:
+        assert nat.loc[g, "rate"] == 1.0
+    with pytest.raises(ValueError):
+        mixture_rates_temperature(df, "source", alpha=0.0)
