@@ -1641,6 +1641,18 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, bench, n=8).select("doc_id")
 
 
+def q_contamination_frac_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: per-doc fraction of distinct 8-grams shared
+    with the deterministic benchmark subset (doc_id % 37 == 0) — the
+    overlap-fraction metric eval cards threshold on; broadcast left probe
+    + one hash agg, corpus text never shuffles."""
+    from feature_extraction_spark.ops.dedup import contamination_score
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 37 == 0).select("text")
+    return contamination_score(d, bench, n=8)
+
+
 def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means-scoped embedding near-dup
     removal, min-id representative. The raw testdata is near-orthogonal
@@ -1915,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timing_stats_events": q_timing_stats_events,
         "conf_stats_events": q_conf_stats_events,
         "tpch_q1": q_tpch_q1,
+        "contamination_frac_docs": q_contamination_frac_docs,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 
@@ -3461,6 +3474,28 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
+    # graded variant: raw-string gram match == the engine's xxhash64 match
+    # up to hash collisions; n_matched/n_grams is an integer-ratio double,
+    # bit-identical across engines (no rounding needed)
+    contamination_frac = f"""
+WITH d AS (
+  SELECT doc_id, {sh8} AS sh FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 37 = 0
+), doc_sh AS (
+  SELECT doc_id, unnest(sh) AS s FROM d
+), scored AS (
+  SELECT doc_id, count(*) AS n_grams,
+         -- ::BIGINT: duckdb sums ints to HUGEINT, which pandas floats
+         sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)::BIGINT
+           AS n_matched
+  FROM doc_sh GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_matched,
+       n_matched::DOUBLE / n_grams AS contamination
+FROM scored
+"""
+
     # planted-clone construction mirrors q_semdedup_emb exactly; at
     # threshold 0.9 the pair set is the clone pairs (max natural cosine
     # 0.51/0.60 at sf0.01/sf0.1), so the min-id keep rule is clustering-free
@@ -3797,6 +3832,7 @@ LIMIT 25
         "decontaminate_docs": decontaminate,
         # bloom pre-filter + exact verify == the exact broadcast-hash path
         "decontaminate_bloom_docs": decontaminate,
+        "contamination_frac_docs": contamination_frac,
         # one row per (label, dim): generate_subscripts/unnest zip
         # positionally; dims are 0-based to match posexplode
         "emb_pool_label": """

@@ -613,6 +613,61 @@ def decontaminate(
     return df.join(contaminated, on=id_col, how="left_anti")
 
 
+def contamination_score(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Graded decontamination: per-document FRACTION of distinct word
+    n-grams shared with the benchmark corpus — the contamination metric
+    the GPT-3/Llama eval cards report and threshold on (a doc is "dirty"
+    above some overlap fraction), where ``decontaminate`` is the boolean
+    n >= 1 special case. Returns one row per input doc:
+    ``(id_col, n_grams, n_matched, contamination)`` with contamination =
+    n_matched / n_grams as double (n_grams >= 1 always: a doc shorter
+    than n words contributes its whole text as one gram — same
+    convention as every shingle op here).
+
+    Scale shape: the benchmark's distinct shingle hashes broadcast (tiny
+    next to the corpus); the corpus side is a map-only broadcast LEFT
+    OUTER probe per shingle (no row multiplication — the bench side is
+    distinct) followed by ONE map-combinable hash aggregation keyed on
+    the 8-byte doc id. The corpus never shuffles its text. Exact up to
+    xxhash64 collisions (~|shingles|^2 / 2^65).
+
+    Invariant vs the boolean op (property-tested):
+    ``decontaminate(df, bench)`` keeps exactly the contamination == 0
+    docs."""
+    doc_sh = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(_shingles(text_col, n)).alias("sh"))
+        .select("id", F.xxhash64("sh").alias("sh"))
+    )
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(bench_text_col, n)).alias("sh"))
+        .select(F.xxhash64("sh").alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), on="sh", how="left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_matched",
+            (F.col("n_matched") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
 def decontaminate_bloom(
     df: DataFrame,
     benchmark: DataFrame,

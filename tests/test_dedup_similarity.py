@@ -289,6 +289,44 @@ def test_decontaminate(spark, docs):
     assert kept == exp
 
 
+def test_contamination_score_values_and_boolean_consistency(spark, docs):
+    """Per-doc 8-gram overlap fractions match a pure-python oracle, and
+    decontaminate keeps exactly the contamination == 0 docs."""
+    from feature_extraction_spark.ops.dedup import (
+        contamination_score,
+        decontaminate,
+    )
+    import pyspark.sql.functions as F
+
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    got = {
+        r.doc_id: (r.n_grams, r.n_matched, r.contamination)
+        for r in contamination_score(docs, bench, n=8).collect()
+    }
+
+    def sh8(s):
+        import re
+        ws = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip().split(" ")
+        if len(ws) < 8:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)}
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    bench_sh = set()
+    for r in pdf.itertuples():
+        if r.doc_id % 37 == 0:
+            bench_sh |= sh8(r.text)
+    assert set(got) == set(pdf["doc_id"])
+    for r in pdf.itertuples():
+        grams = sh8(r.text)
+        matched = len(grams & bench_sh)
+        assert got[r.doc_id] == (len(grams), matched, matched / len(grams))
+
+    kept = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
+    clean = {i for i, (_, m, _f) in got.items() if m == 0}
+    assert kept == clean
+
+
 def test_vocab_filter_and_prune(spark, docs):
     from feature_extraction_spark.ops.preprocess import (
         df_vocab_filter,
