@@ -94,6 +94,9 @@ HOSTILE_SUBSET = [
     "temporal_split_events",
     "target_encode_events",
     "weighted_sample_docs",
+    # r4: fraction division (n_grams >= 1 by the shingle convention, but
+    # ANSI division and broadcast-left-join null semantics get a row here)
+    "contamination_frac_docs",
 ]
 
 
