@@ -1662,7 +1662,16 @@ def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic PII). At threshold 0.9 the true pair set is exactly the
     planted clone pairs; a clone's vector equals its source's, so it lands
     in the same cluster under ANY clustering and recall is structurally
-    1.0 — the clustering choice cannot perturb the value-checked output."""
+    1.0 — the clustering choice cannot perturb the value-checked output.
+
+    n_clusters follows the op's own scale rule (~n/1000, floor 8) instead
+    of a pinned 8: clustering-free correctness (above) means the knob only
+    bounds the per-cluster quadratic, and a fixed 8 made the 20k-vector
+    bench tier pay ~4x the pair work the rule allows (252 s/rep observed).
+    At the driver's sf0.001/sf0.01 sizes the rule still yields 8, so the
+    value-checked history is unchanged."""
+    import math
+
     from feature_extraction_spark.ops.similarity import semdedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1670,7 +1679,8 @@ def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1_000_000
     )
     aug = emb.unionByName(clones)
-    kept = semdedup(aug, threshold=0.9, n_clusters=8, iters=2, seed=42)
+    k = max(8, math.ceil(aug.count() / 1000))
+    kept = semdedup(aug, threshold=0.9, n_clusters=k, iters=2, seed=42)
     return kept.select("vec_id")
 
 
