@@ -201,13 +201,42 @@ def main() -> None:
             ).parquet(os.path.join(emb_dir, "embeddings.parquet"))
         tier3 = [
             "cosine_topk", "lsh_topk", "knn_join", "ivf_topk",
-            "ivf_topk_indexed", "semdedup_emb", "neardup_pairs_emb_lsh",
+            "ivf_topk_indexed", "semdedup_emb",
             "pq_codes_emb", "pq_adc_topk_emb",
         ]
         for name in tier3:
             mk = lambda name=name: queries[name](spark, emb_dir)
             timings_emb[name] = round(_timed_thunk(mk, warmups=1, reps=2), 3)
             print(f"emb10x/{name}: {timings_emb[name]:.3f}s", file=sys.stderr)
+
+        # neardup at production config, NOT the registry query: the
+        # registry's neardup_pairs_emb_lsh deliberately runs a SHALLOW
+        # recall-1.0 config (2 planes x 16 tables at threshold 0.35) so it
+        # value-matches the exact-cosine oracle on the near-orthogonal
+        # driver testdata — at 20k vectors that config puts ~n/4 vectors
+        # in every bucket of every table, i.e. the full quadratic 16x
+        # over (observed: >15 min, unbounded). The scale path the tier
+        # must regress is the production config from the op's docstring
+        # (threshold 0.9, 8 planes x 4 tables) over the clustered synth
+        # table, where banding actually prunes.
+        def mk_neardup_prod():
+            from feature_extraction_spark.ops.similarity import (
+                cosine_neardup_pairs,
+            )
+
+            emb = spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+            return cosine_neardup_pairs(
+                emb, threshold=0.9, method="lsh", planes=8, tables=4
+            )
+
+        timings_emb["neardup_pairs_emb_lsh_prod"] = round(
+            _timed_thunk(mk_neardup_prod, warmups=1, reps=2), 3
+        )
+        print(
+            f"emb10x/neardup_pairs_emb_lsh_prod: "
+            f"{timings_emb['neardup_pairs_emb_lsh_prod']:.3f}s",
+            file=sys.stderr,
+        )
 
     total = sum(timings.values())
     print(
