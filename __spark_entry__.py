@@ -1653,6 +1653,107 @@ def q_contamination_frac_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_score(d, bench, n=8)
 
 
+def _linify(toks, words_per_line: int = 8, dot_every_3: bool = False):
+    """Deterministic multi-line text built from a doc's single-space tokens:
+    lines of `words_per_line` words, optionally with a '.' appended to
+    lines where i % 3 < 2 (the C4 terminal-punctuation device). The raw
+    testdata has zero newlines, so line-granular ops synthesize structure
+    this way — mirrored verbatim in the DuckDB oracles."""
+    w = words_per_line
+    n_lines = F.floor((F.size(toks) - 1) / F.lit(w)).cast("int")
+    mk = lambda i: F.array_join(F.slice(toks, i * w + 1, w), " ")
+    if dot_every_3:
+        line = lambda i: F.concat(
+            mk(i), F.when(i % 3 < 2, F.lit(".")).otherwise(F.lit(""))
+        )
+    else:
+        line = mk
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), n_lines), line), "\n"
+    )
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/FineWeb cross-corpus line dedup: docs are linified (8-word
+    lines), every doc gains a boilerplate footer line, doc_id%3==0 docs a
+    second shared footer, and doc_id%5==0 docs repeat their own first line
+    — so the dedup has real cross-doc AND within-doc duplicates to remove.
+    Keeper = min (doc_id, line_idx) per normalized-line md5."""
+    from feature_extraction_spark.ops.lines import line_dedup
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+    first_line = F.array_join(F.slice(toks, 1, 8), " ")
+    d = d.withColumn(
+        "text",
+        F.concat(
+            _linify(toks),
+            F.lit("\nall rights reserved."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe to our newsletter."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("\n"), first_line)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return line_dedup(d).select(
+        "doc_id", "text_dedup", "n_lines", "n_lines_kept"
+    )
+
+
+def q_c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+page rules (Raffel et al. 2020 §2.2) over linified docs
+    ('.' on lines with i%3<2 so the terminal-punctuation rule bites), with
+    planted page-level contaminants: a javascript line (doc_id%17==0,
+    drops the LINE only), 'lorem ipsum' (%11), a '{' line (%13), and a
+    bad-word line (%7) — each dropping the PAGE."""
+    from feature_extraction_spark.ops.lines import c4_filters
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+
+    def _mark(mod: int, s: str):
+        return F.when(F.col("doc_id") % mod == 0, F.lit("\n" + s)).otherwise(
+            F.lit("")
+        )
+
+    d = d.withColumn(
+        "text",
+        F.concat(
+            _linify(toks, dot_every_3=True),
+            _mark(17, "this page uses javascript for rendering."),
+            _mark(11, "lorem ipsum dolor sit amet."),
+            _mark(13, "config = { enabled }"),
+            _mark(7, "fuck spam spam spam spam."),
+        ),
+    )
+    return c4_filters(d).select("doc_id", "kept", "n_lines_kept", "text_c4")
+
+
+def q_ppl_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles (Wenzek et al. 2020
+    §4.3): bigram-LM log-perplexity per doc (the value-oracled lm_ppl
+    pipeline), rounded _r4, then exact equal-count rank buckets with
+    (log_ppl, doc_id) tiebreak — the rank method is the cross-engine-exact
+    oracle path; the map-only percentile-threshold method is the 100 TB
+    path (pytest asserts they agree)."""
+    from feature_extraction_spark.ops.lm import (
+        ppl_buckets,
+        train_bigram_lm,
+        with_perplexity,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = train_bigram_lm(docs, k=0.1)
+    scored = with_perplexity(docs, lm).select(
+        "doc_id", F.round("log_ppl", 4).alias("log_ppl")
+    )
+    out = ppl_buckets(scored, ppl_col="log_ppl", id_col="doc_id", method="rank")
+    return out.select("doc_id", "log_ppl", "bucket_idx", "bucket")
+
+
 def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means-scoped embedding near-dup
     removal, min-id representative. The raw testdata is near-orthogonal
@@ -1886,6 +1987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_topk_emb": q_hamming_topk_emb,
         "profile_events": q_profile_events,
         "mixture_temp_docs": q_mixture_temp_docs,
+        "contamination_frac_docs": q_contamination_frac_docs,
+        # -- round-4 session-2 additions (need their first driver row)
+        "line_dedup_docs": q_line_dedup_docs,
+        "c4_filter_docs": q_c4_filter_docs,
+        "ppl_buckets_docs": q_ppl_buckets_docs,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -1937,7 +2043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timing_stats_events": q_timing_stats_events,
         "conf_stats_events": q_conf_stats_events,
         "tpch_q1": q_tpch_q1,
-        "contamination_frac_docs": q_contamination_frac_docs,
     }
     return {k: _pinned(f) for k, f in _q.items()}
 
@@ -3843,6 +3948,144 @@ LIMIT 25
         # bloom pre-filter + exact verify == the exact broadcast-hash path
         "decontaminate_bloom_docs": decontaminate,
         "contamination_frac_docs": contamination_frac,
+        # linified (8-word lines) + planted footers, then the CCNet keeper
+        # rule replayed: row_number per md5(normalized line) ordered
+        # (doc_id, line_idx); empty-normalized lines always kept.
+        "line_dedup_docs": """
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+), built AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, ((len(toks)-1)//8)+1),
+        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')), chr(10))
+    || chr(10) || 'all rights reserved.'
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'subscribe to our newsletter.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || array_to_string(toks[1:8], ' ') ELSE '' END
+    AS t
+  FROM base
+), l AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) - 1 AS line_idx,
+         unnest(string_split(t, chr(10))) AS line
+  FROM built
+), n AS (
+  SELECT doc_id, line_idx, line,
+         lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS nrm
+  FROM l
+), k AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(nrm) ORDER BY doc_id, line_idx) AS rn
+  FROM n
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN nrm = '' OR rn = 1 THEN line END,
+                      chr(10) ORDER BY line_idx), '') AS text_dedup,
+  count(*)::BIGINT AS n_lines,
+  sum(CASE WHEN nrm = '' OR rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept
+FROM k GROUP BY doc_id
+""",
+        # C4 §2.2 replay: line keep = terminal punct + >=5 words + no
+        # 'javascript'; page keep = no 'lorem ipsum', no '{', no bad-word
+        # token, >=3 kept lines. Same linify device, '.' on i%3<2 lines.
+        "c4_filter_docs": """
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+), built AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, ((len(toks)-1)//8)+1),
+        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             CASE WHEN i % 3 < 2 THEN '.' ELSE '' END), chr(10))
+    || CASE WHEN doc_id % 17 = 0
+            THEN chr(10) || 'this page uses javascript for rendering.'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN chr(10) || 'config = { enabled }' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN chr(10) || 'fuck spam spam spam spam.' ELSE '' END
+    AS t
+  FROM base
+), keptl AS (
+  SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)), l ->
+      list_contains(['.', '!', '?', '"'], right(trim(l), 1))
+      AND len(list_filter(str_split_regex(trim(l), '\\s+'),
+                          x -> x <> '')) >= 5
+      AND NOT contains(lower(trim(l)), 'javascript')) AS kl
+  FROM built
+)
+SELECT doc_id,
+  (NOT contains(lower(t), 'lorem ipsum')
+   AND NOT contains(t, '{')
+   AND len(list_intersect(
+         list_filter(str_split_regex(lower(t), '\\s+'), x -> x <> ''),
+         ['fuck', 'shit', 'porn', 'xxx'])) = 0
+   AND len(kl) >= 3) AS kept,
+  len(kl)::BIGINT AS n_lines_kept,
+  array_to_string(kl, chr(10)) AS text_c4
+FROM keptl
+""",
+        # lm_ppl's value-oracled pipeline + exact rank terciles:
+        # floor(3*(rn-1)/n) with (log_ppl, doc_id) tiebreak; NaN (empty
+        # docs) sorts greatest in BOTH engines -> tail bucket.
+        "ppl_buckets_docs": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+),
+stats AS (SELECT sum(c) AS t_tokens, count(*) AS v_vocab FROM uni),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c
+  FROM (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        FROM toks WHERE len(w) >= 2)
+  GROUP BY 1, 2
+),
+stream AS (
+  SELECT doc_id, 1 AS is_first, w[1] AS w1, NULL AS w2
+  FROM toks WHERE len(w) >= 1
+  UNION ALL
+  SELECT doc_id, 0, p[1], p[2]
+  FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        FROM toks WHERE len(w) >= 2)
+),
+scored AS (
+  SELECT s.doc_id,
+    CASE WHEN s.is_first = 1
+      THEN ln((coalesce(u.c, 0) + 0.1) / (st.t_tokens + 0.1 * st.v_vocab))
+      ELSE ln((coalesce(b.c, 0) + 0.1) / (coalesce(u.c, 0) + 0.1 * st.v_vocab))
+    END AS lp
+  FROM stream s
+  LEFT JOIN uni u ON u.tok = s.w1
+  LEFT JOIN big b ON b.w1 = s.w1 AND b.w2 = s.w2
+  CROSS JOIN stats st
+),
+per AS (SELECT doc_id, sum(lp) AS lps FROM scored GROUP BY doc_id),
+ranked0 AS (
+  SELECT t.doc_id,
+    round(CASE WHEN len(t.w) > 0 THEN -p.lps / len(t.w)
+          ELSE 'nan'::DOUBLE END, 4) AS log_ppl
+  FROM toks t LEFT JOIN per p USING (doc_id)
+),
+rk AS (
+  SELECT doc_id, log_ppl,
+    row_number() OVER (ORDER BY log_ppl ASC, doc_id ASC) AS rn,
+    count(*) OVER () AS n
+  FROM ranked0
+)
+SELECT doc_id, log_ppl,
+  ((3*(rn-1))//n)::INT AS bucket_idx,
+  (['head', 'middle', 'tail'])[((3*(rn-1))//n)::INT + 1] AS bucket
+FROM rk
+""",
         # one row per (label, dim): generate_subscripts/unnest zip
         # positionally; dims are 0-based to match posexplode
         "emb_pool_label": """

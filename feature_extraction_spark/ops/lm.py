@@ -215,6 +215,70 @@ def perplexity_filter(
     return scored.filter(keep).select(*cols)
 
 
+def ppl_buckets(
+    df_scored: DataFrame,
+    ppl_col: str = "log_ppl",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    method: str = "threshold",
+    labels: tuple[str, ...] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): partition
+    an already-perplexity-scored corpus into ``n_buckets`` equal-count
+    quality tiers (head = lowest perplexity). Adds ``bucket_idx`` (0-based)
+    and ``bucket`` (label) columns.
+
+    method='threshold' — the 100 TB path: one percentile_approx aggregate
+    produces the n_buckets-1 cut points, labeling is a broadcast of
+    (n-1) scalars + map-only comparisons; the corpus never shuffles.
+    method='rank' — exact equal-count buckets via a global row_number
+    (floor(n_buckets*(rank-1)/n) with (ppl, id) tiebreak): a
+    single-partition window, deliberately reserved for small inputs and
+    cross-engine oracles where exactness beats scalability.
+
+    NaN perplexity (empty docs) lands in the LAST bucket under both
+    methods (worst tier; rank order already sorts NaN last).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if labels is None:
+        labels = (
+            ("head", "middle", "tail")
+            if n_buckets == 3
+            else tuple(f"b{i}" for i in range(n_buckets))
+        )
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+
+    p = F.col(ppl_col)
+    if method == "rank":
+        w = Window.orderBy(p.asc(), F.col(id_col).asc())
+        idx = F.floor(
+            F.lit(n_buckets)
+            * (F.row_number().over(w) - 1)
+            / F.count(F.lit(1)).over(Window.partitionBy())
+        ).cast("int")
+    elif method == "threshold":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df_scored.filter(~F.isnan(p)).select(
+            F.percentile_approx(p, qs, accuracy).alias("_c")
+        ).first()["_c"] or []
+        # strict: the cut value itself (percentile_approx returns an actual
+        # data value) closes the LOWER bucket, matching rank's floor rule
+        above = sum((p > F.lit(float(c))).cast("int") for c in cuts)
+        idx = F.when(F.isnan(p), F.lit(n_buckets - 1)).otherwise(above)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    return df_scored.withColumn("bucket_idx", idx).withColumn(
+        "bucket", F.element_at(label_arr, F.col("bucket_idx") + 1)
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
