@@ -1754,6 +1754,33 @@ def q_ppl_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "log_ppl", "bucket_idx", "bucket")
 
 
+def q_render_turns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-assembly rendering at turn grain: each turn rendered
+    '<role>: <text>' with exact [start_char, end_char) offsets into the
+    flattened conversation and the loss-mask flag (trainable role =
+    'purchase' on the events-as-transcripts mapping). One window over the
+    conv_id exchange — pure integer running-sum algebra, exact in both
+    engines."""
+    from feature_extraction_spark.ops.render import render_turns
+
+    t = _events_as_transcripts(spark, sf_dir)
+    out = render_turns(t, trainable_roles=("purchase",))
+    return out.select(
+        "conv_id", "turn_idx", "rendered", "start_char", "end_char",
+        "trainable",
+    )
+
+
+def q_render_conv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-assembly rendering at conversation grain: the flattened
+    document per conv plus turn/char/trainable-char totals (the numbers a
+    sequence-packing step budgets by). One groupBy(conv_id) shuffle."""
+    from feature_extraction_spark.ops.render import render_conversations
+
+    t = _events_as_transcripts(spark, sf_dir)
+    return render_conversations(t, trainable_roles=("purchase",))
+
+
 def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means-scoped embedding near-dup
     removal, min-id representative. The raw testdata is near-orthogonal
@@ -1992,6 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "c4_filter_docs": q_c4_filter_docs,
         "ppl_buckets_docs": q_ppl_buckets_docs,
+        "render_turns_events": q_render_turns_events,
+        "render_conv_events": q_render_conv_events,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -4085,6 +4114,42 @@ SELECT doc_id, log_ppl,
   ((3*(rn-1))//n)::INT AS bucket_idx,
   (['head', 'middle', 'tail'])[((3*(rn-1))//n)::INT + 1] AS bucket
 FROM rk
+""",
+        # running-sum offsets: start = sum of previous rendered lengths
+        # (+1 per separator), exact integer algebra in both engines
+        "render_turns_events": """
+WITH t AS (
+  SELECT user_id::VARCHAR AS conv_id, event_id AS turn_idx,
+         coalesce(event_type, '') || ': ' || coalesce(props, '') AS rendered,
+         event_type
+  FROM events
+), o AS (
+  SELECT conv_id, turn_idx, rendered, event_type,
+    coalesce(sum(length(rendered) + 1) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS start_char
+  FROM t
+)
+SELECT conv_id, turn_idx, rendered, start_char,
+  (start_char + length(rendered))::BIGINT AS end_char,
+  (event_type = 'purchase') AS trainable
+FROM o
+""",
+        "render_conv_events": """
+WITH t AS (
+  SELECT user_id::VARCHAR AS conv_id, event_id AS turn_idx,
+         coalesce(event_type, '') || ': ' || coalesce(props, '') AS rendered,
+         event_type
+  FROM events
+)
+SELECT conv_id,
+  string_agg(rendered, chr(10) ORDER BY turn_idx) AS text,
+  count(*)::BIGINT AS n_turns,
+  (sum(length(rendered)) + count(*) - 1)::BIGINT AS n_chars,
+  sum(CASE WHEN event_type = 'purchase' THEN length(rendered)
+      ELSE 0 END)::BIGINT AS n_trainable_chars
+FROM t GROUP BY conv_id
 """,
         # one row per (label, dim): generate_subscripts/unnest zip
         # positionally; dims are 0-based to match posexplode

@@ -143,6 +143,9 @@ def main() -> None:
         "mixture_rates_docs", "bpe_apply_docs", "wav_stats_media",
         "pq_adc_topk_emb", "skew_report_events", "dsir_weights_docs",
         "sq8_topk_emb", "hamming_topk_emb", "profile_events",
+        "mixture_temp_docs", "contamination_frac_docs",
+        "line_dedup_docs", "c4_filter_docs", "ppl_buckets_docs",
+        "render_turns_events", "render_conv_events",
     ]
     # tier-1 runs the FLAGSHIP protocol (warmups=2, min-of-5) since r4:
     # min-of-2 left per-query regressions undetectable below ~2x on this
@@ -175,7 +178,7 @@ def main() -> None:
         tier2 = [
             "exact_dedup_docs", "jaccard_pairs_docs", "minhash_pairs_docs",
             "gopher_docs", "lm_ppl_docs", "dup_spans_docs",
-            "dedup_clusters_docs",
+            "dedup_clusters_docs", "line_dedup_docs",
         ]
         for name in tier2:
             mk = lambda name=name: queries[name](spark, docs_dir)
