@@ -1781,6 +1781,17 @@ def q_render_conv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_conversations(t, trainable_roles=("purchase",))
 
 
+def q_truncate_conv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-turn context-length truncation: keep the suffix of each
+    conversation whose rendering fits in 400 chars (recent context wins).
+    Suffix running sum over one conv_id window — exact integer algebra."""
+    from feature_extraction_spark.ops.render import truncate_conversations
+
+    t = _events_as_transcripts(spark, sf_dir)
+    out = truncate_conversations(t, max_chars=400, keep="last")
+    return out.select("conv_id", "turn_idx", "cum_chars", "kept")
+
+
 def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means-scoped embedding near-dup
     removal, min-id representative. The raw testdata is near-orthogonal
@@ -2021,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets_docs": q_ppl_buckets_docs,
         "render_turns_events": q_render_turns_events,
         "render_conv_events": q_render_conv_events,
+        "truncate_conv_events": q_truncate_conv_events,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -4150,6 +4162,23 @@ SELECT conv_id,
   sum(CASE WHEN event_type = 'purchase' THEN length(rendered)
       ELSE 0 END)::BIGINT AS n_trainable_chars
 FROM t GROUP BY conv_id
+""",
+        # suffix running sum DESC, -1 for the last separator; kept iff the
+        # suffix ending here still fits the 400-char budget
+        "truncate_conv_events": """
+WITH t AS (
+  SELECT user_id::VARCHAR AS conv_id, event_id AS turn_idx,
+         coalesce(event_type, '') || ': ' || coalesce(props, '') AS rendered
+  FROM events
+), o AS (
+  SELECT conv_id, turn_idx,
+    (sum(length(rendered) + 1) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
+      AS cum_chars
+  FROM t
+)
+SELECT conv_id, turn_idx, cum_chars, (cum_chars <= 400) AS kept FROM o
 """,
         # one row per (label, dim): generate_subscripts/unnest zip
         # positionally; dims are 0-based to match posexplode

@@ -70,6 +70,56 @@ def render_turns(
     )
 
 
+def truncate_conversations(
+    df: DataFrame,
+    max_chars: int,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    keep: str = "last",
+    sep: str = "\n",
+    role_sep: str = ": ",
+) -> DataFrame:
+    """Context-length truncation at WHOLE-TURN granularity: mark the turns
+    whose rendered conversation (same "<role><role_sep><text>" + `sep`
+    rendering as render_turns) fits inside `max_chars`, keeping the
+    `keep`='last' suffix (chat serving / SFT default: recent context wins)
+    or the 'first' prefix. A turn is kept iff the flattened length of it
+    plus everything retained on its side is <= max_chars — so the kept set
+    re-rendered is always <= max_chars and never splits a turn.
+
+    Adds `cum_chars` (flattened length of the candidate suffix/prefix
+    ending at this turn) and `kept`. One window over the conv partition —
+    same single (conv_col) exchange as render_turns.
+    """
+    if max_chars < 0:
+        raise ValueError("max_chars must be >= 0")
+    if keep not in ("last", "first"):
+        raise ValueError("keep must be 'last' or 'first'")
+    r = _rendered(role_col, text_col, role_sep)
+    asc = keep == "first"
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(
+            *[
+                (F.col(c).asc() if asc else F.col(c).desc())
+                for c in order_cols
+            ]
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn("_rlen", F.length(r)).withColumn(
+        "cum_chars",
+        (
+            F.sum(F.col("_rlen") + len(sep)).over(w) - len(sep)
+        ).cast("long"),
+    )
+    return out.withColumn(
+        "kept", F.col("cum_chars") <= F.lit(max_chars)
+    ).drop("_rlen")
+
+
 def render_conversations(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -70,6 +70,57 @@ def test_render_custom_template_and_roles(spark):
     assert out["n_trainable_chars"] == len("tool >> t")
 
 
+def test_truncate_keep_last_budget_respected(spark, transcripts):
+    from feature_extraction_spark.ops.render import truncate_conversations
+
+    out = truncate_conversations(transcripts, max_chars=200, keep="last")
+    kept = out.filter("kept")
+    # re-rendering ONLY the kept turns must fit the budget exactly
+    for r in render_conversations(kept).collect():
+        assert r["n_chars"] <= 200
+    # kept set is a suffix: every turn after a kept turn is kept
+    rows = out.select("conv_id", "turn_idx", "kept").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append((r["turn_idx"], r["kept"]))
+    for conv, ts in by_conv.items():
+        flags = [k for _, k in sorted(ts)]
+        assert flags == sorted(flags), conv  # False* then True*
+
+
+def test_truncate_keep_first_and_python_parity(spark):
+    from feature_extraction_spark.ops.render import truncate_conversations
+
+    rows = [("c", i, "user", "x" * (3 * i + 1)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        r["turn_idx"]: (r["cum_chars"], r["kept"])
+        for r in truncate_conversations(df, 40, keep="first").collect()
+    }
+    pos = 0
+    for i in range(6):
+        rend = len(f"user: {'x' * (3 * i + 1)}")
+        pos += rend + 1
+        assert out[i] == (pos - 1, pos - 1 <= 40), i
+
+
+def test_truncate_validation(spark):
+    import pytest as _pytest
+
+    from feature_extraction_spark.ops.render import truncate_conversations
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "t")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    with _pytest.raises(ValueError):
+        truncate_conversations(df, -1)
+    with _pytest.raises(ValueError):
+        truncate_conversations(df, 10, keep="middle")
+
+
 def test_render_plans_single_shuffle(spark, tmp_path):
     df = spark.createDataFrame(
         [("c%d" % (i % 5), i, "user" if i % 2 else "assistant", "x" * i)
@@ -78,5 +129,8 @@ def test_render_plans_single_shuffle(spark, tmp_path):
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "t"))
     src = spark.read.parquet(str(tmp_path / "t"))
+    from feature_extraction_spark.ops.render import truncate_conversations
+
     assert _plan(render_turns(src)).count(SHUFFLE) == 1
     assert _plan(render_conversations(src)).count(SHUFFLE) == 1
+    assert _plan(truncate_conversations(src, 100)).count(SHUFFLE) == 1
