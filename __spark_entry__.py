@@ -1792,6 +1792,44 @@ def q_truncate_conv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "cum_chars", "kept")
 
 
+def q_jsonl_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSONL ingestion with corrupt-record quarantine:
+    events are serialized to deterministic JSON lines (manual concat —
+    identical bytes in both engines), rows with event_id%97==0 are
+    truncated to 10 chars (malformed), and the parser must recover every
+    good row's typed fields while flagging — not dropping — the corrupt
+    ones. Spark side = from_json PERMISSIVE + corrupt column; oracle =
+    json_valid + typed json_extract."""
+    from feature_extraction_spark.sources.jsonl import parse_jsonl
+
+    e = _events(spark, sf_dir)
+    line = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+        F.lit('", "user_id": '),
+        F.col("user_id").cast("string"),
+        F.lit("}"),
+    )
+    j = e.select(
+        F.col("event_id").alias("orig_event_id"),
+        F.when(F.col("event_id") % 97 == 0, F.substring(line, 1, 10))
+        .otherwise(line)
+        .alias("json"),
+    )
+    out = parse_jsonl(
+        j, schema="event_id bigint, event_type string, user_id bigint"
+    )
+    return out.select(
+        "orig_event_id",
+        "event_id",
+        "event_type",
+        "user_id",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )
+
+
 def q_semdedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means-scoped embedding near-dup
     removal, min-id representative. The raw testdata is near-orthogonal
@@ -2033,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_turns_events": q_render_turns_events,
         "render_conv_events": q_render_conv_events,
         "truncate_conv_events": q_truncate_conv_events,
+        "jsonl_parse_events": q_jsonl_parse_events,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -4162,6 +4201,33 @@ SELECT conv_id,
   sum(CASE WHEN event_type = 'purchase' THEN length(rendered)
       ELSE 0 END)::BIGINT AS n_trainable_chars
 FROM t GROUP BY conv_id
+""",
+        # identical JSON bytes built by concat in both engines; corrupt =
+        # deterministic truncation; DuckDB parses via json_valid + typed
+        # extracts (same recovered values as Spark PERMISSIVE from_json)
+        "jsonl_parse_events": """
+WITH s AS (
+  SELECT event_id AS orig_event_id,
+    '{"event_id": ' || event_id || ', "event_type": "' || event_type ||
+    '", "user_id": ' || user_id || '}' AS line
+  FROM events
+), j AS (
+  SELECT orig_event_id,
+    CASE WHEN orig_event_id % 97 = 0 THEN substr(line, 1, 10)
+         ELSE line END AS line
+  FROM s
+)
+SELECT orig_event_id,
+  CASE WHEN json_valid(line)
+       THEN try_cast(json_extract_string(line, '$.event_id') AS BIGINT)
+  END AS event_id,
+  CASE WHEN json_valid(line)
+       THEN json_extract_string(line, '$.event_type') END AS event_type,
+  CASE WHEN json_valid(line)
+       THEN try_cast(json_extract_string(line, '$.user_id') AS BIGINT)
+  END AS user_id,
+  NOT json_valid(line) AS is_corrupt
+FROM j
 """,
         # suffix running sum DESC, -1 for the last separator; kept iff the
         # suffix ending here still fits the 400-char budget
