@@ -200,3 +200,70 @@ def test_expire_keeps_data_shared_via_append_manifests(spark, tmp_path):
     assert got.count() == 90
     assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(90))
     assert out["deleted_bytes"] == 0  # nothing was safe to delete
+
+
+def test_merge_upsert_insert_update_delete(spark, tmp_path):
+    from feature_extraction_spark.sources.snapshots import (
+        merge_upsert,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    info0 = commit_snapshot(base, t)
+    # update id=2, insert id=4, delete id=3
+    ups = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id long, val string, _del boolean",
+    )
+    info1 = merge_upsert(ups, t, key_cols=("id",), delete_col="_del")
+    got = {
+        r["id"]: r["val"] for r in read_snapshot(spark, t).collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # previous version untouched (time travel)
+    old = {r["id"]: r["val"] for r in read_snapshot(spark, t, info0.version).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+    man = read_manifest(spark, t, info1.version)
+    assert man["merge_keys"] == ["id"] and man["merge_deletes"] == 1
+
+
+def test_merge_upsert_first_commit_and_unique_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from feature_extraction_spark.sources.snapshots import merge_upsert
+
+    t = str(tmp_path / "merge_new")
+    ups = spark.createDataFrame([(1, "x"), (2, "y")], "id long, val string")
+    merge_upsert(ups, t)
+    assert read_snapshot(spark, t).count() == 2
+
+    dup = spark.createDataFrame([(1, "x"), (1, "z")], "id long, val string")
+    with _pytest.raises(ValueError):
+        merge_upsert(dup, t, assert_unique_keys=True)
+    # without the opt-in check it commits (documented contract)
+    merge_upsert(spark.createDataFrame([(3, "w")], "id long, val string"), t)
+    assert read_snapshot(spark, t).count() == 3
+
+
+def test_merge_upsert_broadcast_no_big_side_shuffle(spark, tmp_path):
+    from feature_extraction_spark.sources.snapshots import merge_upsert
+
+    t = str(tmp_path / "merge_plan")
+    base = spark.range(0, 1000).withColumn("val", F.col("id") * 2)
+    commit_snapshot(base, t)
+    ups = spark.createDataFrame([(5, 99), (2000, 1)], "id long, val long")
+    upd_keys = F.broadcast(ups.select("id").distinct())
+    keep = read_snapshot(spark, t).join(upd_keys, ["id"], "left_anti")
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    # the only exchange allowed is the dimension-sized distinct on the
+    # update keys; the snapshot side feeds the broadcast join unshuffled
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # end-to-end merge correctness at this size
+    merge_upsert(ups, t, key_cols=("id",))
+    out = read_snapshot(spark, t)
+    assert out.count() == 1001
+    assert out.filter("id = 5").collect()[0]["val"] == 99
