@@ -1792,6 +1792,29 @@ def q_truncate_conv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "cum_chars", "kept")
 
 
+def q_hard_negatives_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/ANCE): top-5 most-similar non-positive
+    corpus vectors per query; positives (self + successor id) excluded
+    before ranking so every query yields exactly 5 true negatives."""
+    from feature_extraction_spark.ops.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as q_id", "embedding"
+    )
+    positives = queries.select("q_id").select(
+        "q_id", F.col("q_id").alias("vec_id")
+    ).unionByName(
+        queries.select("q_id").select(
+            "q_id", (F.col("q_id") + 1).alias("vec_id")
+        )
+    )
+    out = hard_negatives(emb, queries, positives, k=5)
+    return _r6(
+        out.select("q_id", "vec_id", "cosine", "rank"), ["cosine"]
+    )
+
+
 def q_jsonl_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSONL ingestion with corrupt-record quarantine:
     events are serialized to deterministic JSON lines (manual concat —
@@ -2072,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_conv_events": q_render_conv_events,
         "truncate_conv_events": q_truncate_conv_events,
         "jsonl_parse_events": q_jsonl_parse_events,
+        "hard_negatives_emb": q_hard_negatives_emb,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -4201,6 +4225,33 @@ SELECT conv_id,
   sum(CASE WHEN event_type = 'purchase' THEN length(rendered)
       ELSE 0 END)::BIGINT AS n_trainable_chars
 FROM t GROUP BY conv_id
+""",
+        # positives excluded BEFORE the per-query rank window, so each
+        # query yields exactly k negatives
+        "hard_negatives_emb": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+), pos AS (
+  SELECT q_id, q_id AS vec_id FROM q
+  UNION ALL
+  SELECT q_id, q_id + 1 FROM q
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+  FROM embeddings e CROSS JOIN q
+), filt AS (
+  SELECT s.q_id, s.vec_id, s.cosine
+  FROM scored s
+  ANTI JOIN pos p ON s.q_id = p.q_id AND s.vec_id = p.vec_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM filt
+)
+SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
 """,
         # identical JSON bytes built by concat in both engines; corrupt =
         # deterministic truncation; DuckDB parses via json_valid + typed

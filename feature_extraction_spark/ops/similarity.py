@@ -139,6 +139,52 @@ def knn_join_exact(
     )
 
 
+def hard_negatives(
+    data: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    data_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (DPR, Karpukhin et al.
+    2020; ANCE, Xiong et al. 2021): per query, the top-k most-similar
+    corpus items that are NOT labeled positives — the negatives a
+    contrastive loss learns most from. Positives are excluded BEFORE
+    ranking (broadcast anti-join on (query, item)), so the output always
+    holds k true negatives per query, never a shortfall from post-filter.
+
+    Scale notes: queries and positives are training-batch-sized and
+    broadcast; the corpus is scanned once and the per-query top-k runs on
+    the query-partitioned window (same shape as knn_join_exact). At
+    corpus scales where exact scoring is too wide, generate candidates
+    with the persisted IVF/IVFADC index first and feed THAT as ``data``
+    — this op composes unchanged.
+    """
+    from pyspark.sql import Window
+
+    d = data.select(
+        F.col(data_id), F.col(vec_col).cast("array<double>").alias("_dv")
+    )
+    qdf = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = d.crossJoin(F.broadcast(qdf)).select(
+        query_id,
+        data_id,
+        cosine_expr(F.col("_dv"), F.col("_qv")).alias("cosine"),
+    )
+    pos = positives.select(query_id, data_id)
+    filtered = scored.join(
+        F.broadcast(pos), [query_id, data_id], "left_anti"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(data_id))
+    return filtered.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------- IVF
 
 

@@ -436,3 +436,46 @@ def test_quality_score_nan_guards_and_ip_boundaries(spark):
     assert "10.20.30.4056" in scrubbed  # not an IP: no partial redaction
     assert "v1.2.3.4-beta" in scrubbed
     assert "192.168.0.7" not in scrubbed and "<IP>" in scrubbed
+
+
+def test_hard_negatives_excludes_positives_exact_k(spark):
+    import numpy as np
+
+    from feature_extraction_spark.ops.similarity import (
+        hard_negatives,
+        knn_join_exact,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 2").selectExpr("vec_id as q_id", "embedding")
+    # positives: the self vector (cosine 1.0 — would otherwise rank first)
+    pos = queries.selectExpr("q_id", "q_id as vec_id")
+    out = hard_negatives(emb, queries, pos, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 4
+        assert all(r["vec_id"] != q for r in rs)  # positive excluded
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4]
+    # without positives the self vector ranks 1 (sanity link to knn_join)
+    knn = knn_join_exact(emb, queries, k=1).collect()
+    assert all(r["vec_id"] == r["q_id"] for r in knn)
+
+
+def test_hard_negatives_composes_with_candidate_subset(spark):
+    import numpy as np
+
+    from feature_extraction_spark.ops.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").selectExpr("vec_id as q_id", "embedding")
+    pos = queries.selectExpr("q_id", "q_id as vec_id")
+    # candidate generation (e.g. an IVF probe) just narrows `data`
+    cands = emb.filter("vec_id % 2 = 0")
+    out = hard_negatives(cands, queries, pos, k=3).collect()
+    assert len(out) == 3 and all(r["vec_id"] % 2 == 0 for r in out)
