@@ -93,3 +93,40 @@ def test_parse_jsonl_custom_schema_and_structtype(spark):
     )
     out = parse_jsonl(df, schema=st).collect()[0]
     assert out["a"] == 4 and out["b"] == "z" and out["_corrupt"] is None
+
+
+def test_streaming_jsonl_ingestion_with_quarantine(spark, tmp_path):
+    """readStream.text + parse_jsonl + quarantine in foreachBatch: good
+    rows land in the table, corrupt raw lines in the dead-letter dir —
+    identical semantics to the batch reader."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _write_lines(
+        os.path.join(src, "a.jsonl"),
+        [
+            '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi"}',
+            "broken{",
+            '{"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "yo"}',
+        ],
+    )
+    good_dir = str(tmp_path / "good")
+    bad_dir = str(tmp_path / "bad")
+
+    def sink(batch, batch_id):
+        g, b = quarantine(parse_jsonl(batch, json_col="value"))
+        g.write.mode("append").parquet(good_dir)
+        b.write.mode("append").parquet(bad_dir)
+
+    stream = spark.readStream.text(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    good = spark.read.parquet(good_dir)
+    assert good.count() == 2
+    assert {r["role"] for r in good.collect()} == {"user", "assistant"}
+    bad = spark.read.parquet(bad_dir)
+    assert [r["raw"] for r in bad.collect()] == ["broken{"]
