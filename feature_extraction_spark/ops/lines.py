@@ -144,7 +144,11 @@ def c4_filters(
     lines = F.split(text, _NEWLINE, -1)
     kept_lines = F.filter(lines, lambda l: _line_ok(l, min_words_per_line))
     toks = ws_tokens_expr(F.lower(text))
-    bad = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in badwords]))
+    bad = (
+        F.arrays_overlap(toks, F.array(*[F.lit(w) for w in badwords]))
+        if badwords
+        else F.lit(False)
+    )
     page_ok = (
         ~F.contains(F.lower(text), F.lit("lorem ipsum"))
         & ~F.contains(text, F.lit("{"))

@@ -32,6 +32,14 @@ def _rendered(role_col: str, text_col: str, role_sep: str):
     )
 
 
+def _trainable(role_col: str, trainable_roles: tuple[str, ...]):
+    # isin() with zero values is an invalid expression — an empty mask
+    # (nothing trains) is a legitimate config, e.g. pure-context corpora
+    if not trainable_roles:
+        return F.lit(False)
+    return F.col(role_col).isin(*trainable_roles)
+
+
 def render_turns(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -65,9 +73,7 @@ def render_turns(
     )
     return out.withColumn(
         "end_char", (F.col("start_char") + F.length("rendered")).cast("long")
-    ).withColumn(
-        "trainable", F.col(role_col).isin(*trainable_roles)
-    )
+    ).withColumn("trainable", _trainable(role_col, trainable_roles))
 
 
 def truncate_conversations(
@@ -137,7 +143,7 @@ def render_conversations(
     step budgets by). One groupBy(conv_col) shuffle."""
     r = _rendered(role_col, text_col, role_sep)
     key = F.struct(*[F.col(c) for c in order_cols])
-    trainable = F.col(role_col).isin(*trainable_roles)
+    trainable = _trainable(role_col, trainable_roles)
     return (
         df.select(
             F.col(conv_col),
