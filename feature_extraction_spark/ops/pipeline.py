@@ -111,6 +111,92 @@ def prepare_corpus(df: DataFrame, **kwargs) -> DataFrame:
     return next(reversed(prepare_corpus_stages(df, **kwargs).values()))
 
 
+def prepare_sft_stages(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    trainable_roles: tuple[str, ...] = ("assistant",),
+    max_chars: int | None = None,
+    dedup_lines: bool = False,
+    benchmark_df: DataFrame | None = None,
+    split_fractions: dict[str, float] | None = None,
+    split_salt: str = "",
+) -> "OrderedDict[str, DataFrame]":
+    """SFT (supervised fine-tuning) dataset assembly from a TURN-grain
+    transcript table, composed from the same independently-oracled
+    operators as prepare_corpus:
+
+    turns → [truncate to max_chars, whole-turn] → render (conv-grain
+    "role: text" documents + loss-mask totals) → drop conversations with
+    zero trainable mass → exact_dedup of identical conversations →
+    [cross-corpus line_dedup of boilerplate turns] → [decontaminate vs a
+    benchmark] → leakage-safe hash split at CONVERSATION grain (a
+    conversation never straddles train/val/test).
+
+    The final stage is conv-grain (conv_col, text, split); every stage is
+    lazy and the whole chain is one Catalyst plan.
+    """
+    from feature_extraction_spark.ops.chunk import hash_split
+    from feature_extraction_spark.ops.dedup import decontaminate, exact_dedup
+    from feature_extraction_spark.ops.lines import line_dedup
+    from feature_extraction_spark.ops.render import (
+        render_conversations,
+        truncate_conversations,
+    )
+
+    stages: "OrderedDict[str, DataFrame]" = OrderedDict()
+    stages["input"] = turns
+    cur = turns
+    if max_chars is not None:
+        cur = truncate_conversations(
+            cur,
+            max_chars,
+            conv_col=conv_col,
+            order_cols=order_cols,
+            role_col=role_col,
+            text_col=text_col,
+        ).filter("kept").drop("cum_chars", "kept")
+        stages["truncate"] = cur
+    cur = render_conversations(
+        cur,
+        conv_col=conv_col,
+        order_cols=order_cols,
+        role_col=role_col,
+        text_col=text_col,
+        trainable_roles=trainable_roles,
+    )
+    stages["render"] = cur
+    cur = cur.filter(F.col("n_trainable_chars") > 0).select(conv_col, "text")
+    stages["trainable_only"] = cur
+    cur = exact_dedup(cur, id_col=conv_col, text_col="text")
+    stages["exact_dedup"] = cur
+    if dedup_lines:
+        cur = (
+            line_dedup(cur, id_col=conv_col, text_col="text")
+            .select(conv_col, F.col("text_dedup").alias("text"))
+            .filter(F.length("text") > 0)
+        )
+        stages["line_dedup"] = cur
+    if benchmark_df is not None:
+        cur = decontaminate(
+            cur, benchmark_df, id_col=conv_col, text_col="text"
+        )
+        stages["decontaminate"] = cur
+    cur = hash_split(
+        cur, key_cols=conv_col, fractions=split_fractions, salt=split_salt
+    )
+    stages["split"] = cur
+    return stages
+
+
+def prepare_sft(turns: DataFrame, **kwargs) -> DataFrame:
+    """``prepare_sft_stages`` collapsed to its final DataFrame:
+    (conv_col, text, split) training-ready conversations."""
+    return next(reversed(prepare_sft_stages(turns, **kwargs).values()))
+
+
 def stage_counts(stages: "OrderedDict[str, DataFrame]") -> DataFrame:
     """Row count per stage as one DataFrame (stage_idx, stage, rows) — the
     funnel report. One union-of-aggregates plan: a single action computes

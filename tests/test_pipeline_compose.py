@@ -118,3 +118,60 @@ def test_quality_model_stage_optional(spark, corpus):
     # the surviving docs all contain CLEAN-like prose; doc 4/5 junk is
     # already gone at gopher, so the learned stage must keep clean docs
     assert len(q_ids) > 0
+
+
+def test_prepare_sft_end_to_end(spark, transcripts):
+    from feature_extraction_spark.ops.pipeline import (
+        prepare_sft,
+        prepare_sft_stages,
+        stage_counts,
+    )
+
+    stages = prepare_sft_stages(
+        transcripts,
+        max_chars=500,
+        dedup_lines=True,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    assert list(stages) == [
+        "input", "truncate", "render", "trainable_only", "exact_dedup",
+        "line_dedup", "split",
+    ]
+    final = stages["split"]
+    rows = final.collect()
+    assert rows and set(final.columns) == {"conv_id", "text", "split"}
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # conv grain: one row per conversation
+    assert len(rows) == len({r["conv_id"] for r in rows})
+    # every surviving conversation fits the truncation budget
+    assert all(len(r["text"]) <= 500 for r in rows)
+    # funnel is monotone from render onward (each stage only drops convs)
+    counts = {r["stage"]: r["rows"] for r in stage_counts(stages).collect()}
+    assert (
+        counts["render"] >= counts["trainable_only"]
+        >= counts["exact_dedup"] >= counts["line_dedup"] == counts["split"]
+    )
+    # the collapsed helper returns the same final frame
+    assert prepare_sft(
+        transcripts, max_chars=500, dedup_lines=True
+    ).count() == counts["split"]
+
+
+def test_prepare_sft_dedups_identical_conversations(spark):
+    rows = []
+    for conv in ("a", "b"):  # two identical conversations
+        rows += [
+            (conv, 0, "user", "hello there friend", None, None),
+            (conv, 1, "assistant", "hi how can i help", None, None),
+        ]
+    rows += [("c", 0, "user", "only context here", None, None)]  # no assistant
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    from feature_extraction_spark.ops.pipeline import prepare_sft
+
+    out = prepare_sft(df).collect()
+    # c dropped (zero trainable mass); a/b dedup to the min conv_id
+    assert [r["conv_id"] for r in out] == ["a"]
