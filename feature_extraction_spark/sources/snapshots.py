@@ -293,6 +293,45 @@ def merge_upsert(
     )
 
 
+def rewrite_data_files(
+    spark: SparkSession,
+    table: str,
+    target_mb: int = 512,
+) -> SnapshotInfo:
+    """Compaction — the Iceberg rewrite_data_files maintenance action:
+    rewrite the current snapshot's data into ~``target_mb`` files and
+    commit the SAME rows as the next version. Append-heavy tables (every
+    micro-batch/merge commit adds a file set) accumulate small files
+    until scans pay per-file open/footer costs; at 100 TB the small-files
+    problem, not data volume, is what kills read throughput.
+
+    The file count is sized from the manifest's byte total (no data scan
+    before the rewrite): ceil(bytes / target_mb) — approximate, since
+    re-encoding changes compression, but within the 2x that matters.
+    Readers time-traveling to pre-compaction versions still see the old
+    file layout (manifests are immutable); `expire_snapshots` reclaims it.
+    """
+    if target_mb <= 0:
+        raise ValueError("target_mb must be positive")
+    v = last_committed_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table}")
+    manifest = read_manifest(spark, table, v)
+    n_files = max(
+        1, -(-int(manifest["bytes"]) // (target_mb * 1024 * 1024))
+    )
+    compacted = read_snapshot(spark, table, v).repartition(n_files)
+    return commit_snapshot(
+        compacted,
+        table,
+        mode="overwrite",
+        extra_meta={
+            "rewrite_target_mb": target_mb,
+            "rewrite_files_before": len(manifest["files"]),
+        },
+    )
+
+
 def snapshot_versions(spark: SparkSession, table: str) -> list[int]:
     """All COMMITTED versions (commit markers present), ascending. A
     manifest without its marker is a crashed in-flight write and is not

@@ -267,3 +267,43 @@ def test_merge_upsert_broadcast_no_big_side_shuffle(spark, tmp_path):
     out = read_snapshot(spark, t)
     assert out.count() == 1001
     assert out.filter("id = 5").collect()[0]["val"] == 99
+
+
+def test_rewrite_data_files_compacts_and_preserves_rows(spark, tmp_path):
+    from feature_extraction_spark.sources.snapshots import (
+        read_manifest,
+        rewrite_data_files,
+    )
+
+    t = str(tmp_path / "compact_tbl")
+    # append-heavy history -> many small files in the live manifest
+    for i in range(4):
+        commit_snapshot(
+            spark.range(i * 100, (i + 1) * 100).repartition(4),
+            t,
+            mode="append",
+        )
+    before = read_manifest(spark, t, last_committed_version(spark, t))
+    assert len(before["files"]) >= 16
+    info = rewrite_data_files(spark, t, target_mb=512)
+    after = read_manifest(spark, t, info.version)
+    assert len(after["files"]) == 1  # tiny table -> one target file
+    assert after["rewrite_files_before"] == len(before["files"])
+    # same rows, and the pre-compaction version is still time-travelable
+    got = sorted(r["id"] for r in read_snapshot(spark, t).collect())
+    assert got == list(range(400))
+    old = read_snapshot(spark, t, before["version"])
+    assert old.count() == 400
+
+
+def test_rewrite_data_files_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from feature_extraction_spark.sources.snapshots import rewrite_data_files
+
+    with _pytest.raises(FileNotFoundError):
+        rewrite_data_files(spark, str(tmp_path / "nope"))
+    t = str(tmp_path / "tv")
+    commit_snapshot(spark.range(5), t)
+    with _pytest.raises(ValueError):
+        rewrite_data_files(spark, t, target_mb=0)
