@@ -1815,6 +1815,15 @@ def q_hard_negatives_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: rank docs by md5('ep1'||id)
+    — the reproducible epoch permutation applied before sharding."""
+    from feature_extraction_spark.ops.chunk import deterministic_shuffle
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return deterministic_shuffle(d, key_cols="doc_id", seed="ep1")
+
+
 def q_jsonl_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSONL ingestion with corrupt-record quarantine:
     events are serialized to deterministic JSON lines (manual concat —
@@ -2096,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_conv_events": q_truncate_conv_events,
         "jsonl_parse_events": q_jsonl_parse_events,
         "hard_negatives_emb": q_hard_negatives_emb,
+        "shuffle_order_docs": q_shuffle_order_docs,
         # -- green in CORRECTNESS_r03 (window overflow is covered there)
         "verbosity_docs": q_verbosity_docs,
         "lexdiv_docs": q_lexdiv_docs,
@@ -4225,6 +4235,13 @@ SELECT conv_id,
   sum(CASE WHEN event_type = 'purchase' THEN length(rendered)
       ELSE 0 END)::BIGINT AS n_trainable_chars
 FROM t GROUP BY conv_id
+""",
+        # identical md5 in both engines -> identical permutation
+        "shuffle_order_docs": """
+SELECT doc_id,
+  row_number() OVER (
+    ORDER BY md5('ep1' || doc_id) ASC, doc_id ASC) AS shuffle_rank
+FROM documents
 """,
         # positives excluded BEFORE the per-query rank window, so each
         # query yields exactly k negatives

@@ -147,7 +147,7 @@ def main() -> None:
         "line_dedup_docs", "c4_filter_docs", "ppl_buckets_docs",
         "render_turns_events", "render_conv_events",
         "truncate_conv_events", "jsonl_parse_events",
-        "hard_negatives_emb",
+        "hard_negatives_emb", "shuffle_order_docs",
     ]
     # tier-1 runs the FLAGSHIP protocol (warmups=2, min-of-5) since r4:
     # min-of-2 left per-query regressions undetectable below ~2x on this

@@ -382,6 +382,38 @@ def temporal_split(
     return df.withColumn(out_col, label)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: tuple[str, ...] | str = ("doc_id",),
+    seed: str = "",
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: rank every row by
+    md5(seed || key) — the reproducible data-order randomization every
+    pretraining run applies before sharding (same seed => byte-identical
+    order on any cluster; changing the seed is a fresh epoch permutation).
+    Adds ``out_col`` (1-based rank) ordered by the salted hash with the
+    key as tiebreak.
+
+    Scale note: ranking is a global sort — at 100 TB the write path is
+    ``df.repartitionByRange(n, F.md5(...))`` + sortWithinPartitions (a
+    range exchange, no single-partition window); this op's row_number
+    form is the small/oracle path whose order is identical (pytest pins
+    rank order == hash sort order).
+    """
+    from pyspark.sql import Window
+
+    keys = (key_cols,) if isinstance(key_cols, str) else tuple(key_cols)
+    h = F.md5(
+        F.concat(
+            F.lit(seed),
+            *[F.col(k).cast("string") for k in keys],
+        )
+    )
+    w = Window.orderBy(h.asc(), *[F.col(k).asc() for k in keys])
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
 def mixture_rates(
     df: DataFrame,
     group_col: str,
