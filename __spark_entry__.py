@@ -4236,11 +4236,14 @@ SELECT conv_id,
       ELSE 0 END)::BIGINT AS n_trainable_chars
 FROM t GROUP BY conv_id
 """,
-        # identical md5 in both engines -> identical permutation
+        # identical md5(concat_ws-with-0x1f) in both engines -> identical
+        # permutation; the oracle is the global-window form whose output
+        # the sharded scale path reproduces exactly
         "shuffle_order_docs": """
 SELECT doc_id,
   row_number() OVER (
-    ORDER BY md5('ep1' || doc_id) ASC, doc_id ASC) AS shuffle_rank
+    ORDER BY md5(concat_ws(chr(31), 'ep1', doc_id)) ASC, doc_id ASC
+  ) AS shuffle_rank
 FROM documents
 """,
         # positives excluded BEFORE the per-query rank window, so each

@@ -387,31 +387,91 @@ def deterministic_shuffle(
     key_cols: tuple[str, ...] | str = ("doc_id",),
     seed: str = "",
     out_col: str = "shuffle_rank",
+    num_shards: int = 256,
+    use_global_window: bool = False,
 ) -> DataFrame:
     """Deterministic global training-order shuffle: rank every row by
-    md5(seed || key) — the reproducible data-order randomization every
-    pretraining run applies before sharding (same seed => byte-identical
-    order on any cluster; changing the seed is a fresh epoch permutation).
-    Adds ``out_col`` (1-based rank) ordered by the salted hash with the
-    key as tiebreak.
+    md5(concat_ws(0x1f, seed, keys...)) — the reproducible data-order
+    randomization every pretraining run applies before sharding (same
+    seed => byte-identical order on any cluster; changing the seed is a
+    fresh epoch permutation). Adds ``out_col`` (1-based global rank)
+    ordered by the salted hash with the keys as tiebreak. The delimiter
+    keeps multi-key boundaries distinct (('ab','c') != ('a','bc')) and
+    ``concat_ws`` never yields NULL, so the hash column is non-NULL for
+    any key mix — the same hygiene as ``hash_split``. (A NULL key is
+    skipped by concat_ws in Spark AND DuckDB identically; rows differing
+    only in WHICH position is NULL share a hash and fall to the key
+    tiebreak — pre-coalesce keys if that distinction matters.)
 
-    Scale note: ranking is a global sort — at 100 TB the write path is
-    ``df.repartitionByRange(n, F.md5(...))`` + sortWithinPartitions (a
-    range exchange, no single-partition window); this op's row_number
-    form is the small/oracle path whose order is identical (pytest pins
-    rank order == hash sort order).
+    Scale shape (default path): the hash's top 16 bits are range-bucketed
+    into ``num_shards`` contiguous shards (hex-prefix order == hash
+    order, so shard asc + hash asc == global hash order). The intra-shard
+    rank is a row_number window partitioned BY SHARD (parallel; the
+    corpus shuffles exactly once, on the shard key), shard row-counts are
+    a map-side-combinable aggregate of ``num_shards`` rows whose cumsum
+    window runs on that dimension-sized table only, and the global rank =
+    broadcast-joined shard offset + intra-shard rank. No corpus-wide
+    single-partition exchange anywhere (plan-pinned in
+    tests/test_chunk_split.py::test_deterministic_shuffle_plan_is_sharded).
+    The two corpus passes (count + rank) are inherent to an exact global
+    rank without a serial bottleneck — persist ``df`` upstream to make
+    the second pass a cache read. ``num_shards`` is purely physical: the
+    rank values are identical for any setting (1..65536).
+
+    ``use_global_window=True`` is the reference/oracle form (one global
+    row_number window — a deliberate single-partition plan): output-
+    identical, used by small inputs and the cross-engine oracle, and the
+    equality of the two paths is pytest-pinned.
     """
     from pyspark.sql import Window
 
     keys = (key_cols,) if isinstance(key_cols, str) else tuple(key_cols)
     h = F.md5(
-        F.concat(
+        F.concat_ws(
+            "\x1f",
             F.lit(seed),
             *[F.col(k).cast("string") for k in keys],
         )
     )
-    w = Window.orderBy(h.asc(), *[F.col(k).asc() for k in keys])
-    return df.withColumn(out_col, F.row_number().over(w))
+    tiebreak = [F.col(k).asc() for k in keys]
+    if use_global_window:
+        w = Window.orderBy(h.asc(), *tiebreak)
+        return df.withColumn(
+            out_col, F.row_number().over(w).cast("long")
+        )
+
+    if not 1 <= num_shards <= 65536:
+        raise ValueError("num_shards must be in [1, 65536]")
+    # contiguous range buckets of the top 16 hash bits: monotone in the
+    # hex string, so (shard asc, hash asc) == global hash order
+    shard = F.floor(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+        * F.lit(int(num_shards))
+        / F.lit(65536)
+    ).cast("int")
+    base = df.withColumn("_ds_h", h).withColumn("_ds_shard", shard)
+    counts = base.groupBy("_ds_shard").agg(F.count(F.lit(1)).alias("_ds_n"))
+    # cumsum over <= num_shards rows — the only single-partition window,
+    # and it is dimension-sized by construction
+    w_off = (
+        Window.orderBy("_ds_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_ds_shard",
+        F.coalesce(F.sum("_ds_n").over(w_off), F.lit(0)).alias("_ds_off"),
+    )
+    w_intra = Window.partitionBy("_ds_shard").orderBy(
+        F.col("_ds_h").asc(), *tiebreak
+    )
+    ranked = (
+        base.withColumn("_ds_intra", F.row_number().over(w_intra))
+        .join(F.broadcast(offsets), "_ds_shard")
+        .withColumn(
+            out_col, (F.col("_ds_off") + F.col("_ds_intra")).cast("long")
+        )
+    )
+    return ranked.drop("_ds_h", "_ds_shard", "_ds_intra", "_ds_off")
 
 
 def mixture_rates(

@@ -215,7 +215,78 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
     assert a == b  # same seed -> identical permutation
     assert a != c  # different seed -> different permutation
     assert sorted(a.values()) == list(range(1, 201))  # a true permutation
-    # order matches a python md5 replay (cross-engine/oracle contract)
-    exp = sorted(range(200),
-                 key=lambda i: (hashlib.md5(f"s1{i}".encode()).hexdigest(), i))
+    # order matches a python md5 replay (cross-engine/oracle contract;
+    # concat_ws(0x1f) key hygiene)
+    exp = sorted(
+        range(200),
+        key=lambda i: (hashlib.md5(f"s1\x1f{i}".encode()).hexdigest(), i),
+    )
     assert [i for i, _ in sorted(a.items(), key=lambda kv: kv[1])] == exp
+
+
+def test_deterministic_shuffle_sharded_equals_global_window(spark):
+    from feature_extraction_spark.ops.chunk import deterministic_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    ref = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(
+            df, "doc_id", seed="s1", use_global_window=True
+        ).collect()
+    }
+    # the sharded scale path reproduces the global-window rank exactly,
+    # for ANY physical shard count (num_shards is not semantic)
+    for n_shards in (1, 7, 256):
+        got = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in deterministic_shuffle(
+                df, "doc_id", seed="s1", num_shards=n_shards
+            ).collect()
+        }
+        assert got == ref, f"num_shards={n_shards}"
+
+
+def test_deterministic_shuffle_multikey_null_hash_hygiene(spark):
+    from feature_extraction_spark.ops.chunk import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [("ab", "c"), ("a", "bc"), ("a", None), (None, "a")],
+        "k1 string, k2 string",
+    )
+    out = deterministic_shuffle(df, ("k1", "k2"), seed="s").collect()
+    # all four rows ranked (no NULL hash dropping/reordering surprises),
+    # ranks a permutation, and the delimiter keeps ('ab','c') != ('a','bc')
+    assert sorted(r["shuffle_rank"] for r in out) == [1, 2, 3, 4]
+    import hashlib
+
+    def key(k1, k2):
+        parts = [p for p in (k1, k2) if p is not None]
+        joined = "\x1f".join(["s", *parts])
+        return hashlib.md5(joined.encode()).hexdigest()
+
+    exp_order = sorted(
+        [("ab", "c"), ("a", "bc"), ("a", None), (None, "a")],
+        key=lambda t: (key(*t), t[0] or "", t[1] or ""),
+    )
+    got_order = [
+        (r["k1"], r["k2"])
+        for r in sorted(out, key=lambda r: r["shuffle_rank"])
+    ]
+    assert got_order == exp_order
+
+
+def test_deterministic_shuffle_plan_is_sharded(spark):
+    from feature_extraction_spark.ops.chunk import deterministic_shuffle
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", seed="s1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # corpus row_number window is partitioned by the shard key...
+    assert "windowspecdefinition(_ds_shard" in plan
+    # ...and the ONLY single-partition exchange is the dimension-sized
+    # shard-offset cumsum (fed by the count aggregate), never the corpus
+    assert plan.count("Exchange SinglePartition") == 1
+    tail = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in tail.split("Window", 1)[0] or (
+        "HashAggregate" in tail
+    )
