@@ -139,6 +139,42 @@ def knn_join_exact(
     )
 
 
+def _partition_topk_candidates(
+    scored: DataFrame, query_id: str, data_id: str, k: int
+) -> DataFrame:
+    """Per-INPUT-PARTITION top-k per query over a ``(query_id, data_id,
+    cosine)`` frame — an Arrow ``mapInPandas`` reduction with bounded
+    state (at most |Q| x k retained rows plus one Arrow batch), emitting
+    <= |Q| x k rows per partition. Selection order is exactly the final
+    ranking order (cosine desc, data_id asc), so any row in the global
+    top-k survives its partition's prefilter — the reduction is exact,
+    not approximate. Same kernel pattern as the Misra-Gries reducer in
+    ops/sketches.py; runs map-only (no shuffle, no Python state on the
+    driver)."""
+    import pandas as pd
+
+    schema = scored.schema
+
+    def kern(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cand = (
+                pdf
+                if best is None
+                else pd.concat([best, pdf], ignore_index=True)
+            )
+            cand = cand.sort_values(
+                ["cosine", data_id],
+                ascending=[False, True],
+                kind="mergesort",
+            )
+            best = cand.groupby(query_id, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(kern, schema)
+
+
 def hard_negatives(
     data: DataFrame,
     queries: DataFrame,
@@ -147,6 +183,7 @@ def hard_negatives(
     data_id: str = "vec_id",
     query_id: str = "q_id",
     vec_col: str = "embedding",
+    partition_prefilter: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for retrieval training (DPR, Karpukhin et al.
     2020; ANCE, Xiong et al. 2021): per query, the top-k most-similar
@@ -154,13 +191,22 @@ def hard_negatives(
     contrastive loss learns most from. Positives are excluded BEFORE
     ranking (broadcast anti-join on (query, item)), so the output always
     holds k true negatives per query, never a shortfall from post-filter.
+    Rows whose cosine is NULL/NaN (zero-norm embeddings) are excluded —
+    a degenerate similarity is not a usable negative, and the explicit
+    rule keeps both execution paths and the cross-engine oracle aligned.
 
     Scale notes: queries and positives are training-batch-sized and
-    broadcast; the corpus is scanned once and the per-query top-k runs on
-    the query-partitioned window (same shape as knn_join_exact). At
-    corpus scales where exact scoring is too wide, generate candidates
-    with the persisted IVF/IVFADC index first and feed THAT as ``data``
-    — this op composes unchanged.
+    broadcast; the corpus is scanned exactly once. The default path
+    bounds the ranking shuffle: scoring + anti-join + a per-partition
+    top-k Arrow reduction all run MAP-ONLY in one stage, so the final
+    per-query row_number window receives at most k x P x |Q| candidate
+    rows (P = input partitions) instead of |corpus| x |Q| — the round-4
+    shape that concentrated the whole scored corpus onto |Q| reducers is
+    gone (plan + bound pinned in tests/test_similarity_ann.py).
+    ``partition_prefilter=False`` keeps the pure-JVM window form for
+    tiny corpora. At corpus scales where exact scoring itself is too
+    wide, generate candidates with the persisted IVF/IVFADC index first
+    and feed THAT as ``data`` — this op composes unchanged.
     """
     from pyspark.sql import Window
 
@@ -175,10 +221,15 @@ def hard_negatives(
         data_id,
         cosine_expr(F.col("_dv"), F.col("_qv")).alias("cosine"),
     )
+    scored = scored.filter(
+        F.col("cosine").isNotNull() & ~F.isnan("cosine")
+    )
     pos = positives.select(query_id, data_id)
     filtered = scored.join(
         F.broadcast(pos), [query_id, data_id], "left_anti"
     )
+    if partition_prefilter:
+        filtered = _partition_topk_candidates(filtered, query_id, data_id, k)
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(data_id))
     return filtered.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

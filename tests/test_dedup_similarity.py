@@ -479,3 +479,69 @@ def test_hard_negatives_composes_with_candidate_subset(spark):
     cands = emb.filter("vec_id % 2 = 0")
     out = hard_negatives(cands, queries, pos, k=3).collect()
     assert len(out) == 3 and all(r["vec_id"] % 2 == 0 for r in out)
+
+def test_hard_negatives_prefilter_equals_window_path_and_bounds(spark):
+    import numpy as np
+
+    from feature_extraction_spark.ops.similarity import (
+        _partition_topk_candidates,
+        cosine_expr,
+        hard_negatives,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(120)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(6)
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as q_id", "embedding"
+    )
+    pos = queries.selectExpr("q_id", "q_id as vec_id")
+    key = lambda r: (r["q_id"], r["vec_id"], r["rank"])  # noqa: E731
+    got = sorted(
+        hard_negatives(emb, queries, pos, k=5).collect(), key=key
+    )
+    ref = sorted(
+        hard_negatives(
+            emb, queries, pos, k=5, partition_prefilter=False
+        ).collect(),
+        key=key,
+    )
+    assert [key(r) for r in got] == [key(r) for r in ref]
+    # cosines bit-identical (same JVM scoring expression on both paths)
+    assert [r["cosine"] for r in got] == [r["cosine"] for r in ref]
+
+    # the reduction bound: candidates entering the final window are
+    # <= k x P x |Q|, never |corpus| x |Q|
+    d = emb.select("vec_id", F.col("embedding").alias("_dv"))
+    q = queries.select("q_id", F.col("embedding").alias("_qv"))
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id", cosine_expr(F.col("_dv"), F.col("_qv")).alias("cosine")
+    )
+    cands = _partition_topk_candidates(scored, "q_id", "vec_id", 5)
+    n_parts = emb.rdd.getNumPartitions()
+    assert cands.count() <= 5 * n_parts * 3
+    assert scored.count() == 120 * 3  # what round 4 shuffled
+
+
+def test_hard_negatives_plan_shuffles_reduced_candidates(spark):
+    import numpy as np
+
+    from feature_extraction_spark.ops.similarity import hard_negatives
+
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.normal(size=4).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 2").selectExpr("vec_id as q_id", "embedding")
+    pos = queries.selectExpr("q_id", "q_id as vec_id")
+    out = hard_negatives(emb, queries, pos, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the map-only Arrow reduction sits BELOW the q_id exchange: the only
+    # corpus-grain exchange input is the prefiltered candidate set
+    assert "MapInPandas" in plan
+    exch = plan.split("Exchange hashpartitioning(q_id", 1)
+    assert len(exch) == 2 and "MapInPandas" in exch[1]
+    # scoring + anti-join + reduction are one stage: broadcast joins only
+    assert "SortMergeJoin" not in plan
