@@ -1827,11 +1827,17 @@ def q_shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jsonl_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSONL ingestion with corrupt-record quarantine:
     events are serialized to deterministic JSON lines (manual concat —
-    identical bytes in both engines), rows with event_id%97==0 are
-    truncated to 10 chars (malformed), and the parser must recover every
-    good row's typed fields while flagging — not dropping — the corrupt
-    ones. Spark side = from_json PERMISSIVE + corrupt column; oracle =
-    json_valid + typed json_extract."""
+    identical bytes in both engines); rows with event_id%97==0 are
+    truncated to 10 chars (malformed JSON), and rows with
+    event_id%89==0 (and not %97) carry a VALID-JSON but WRONG-TYPE
+    user_id ("x<id>" string for a bigint field) — exercising BOTH
+    PERMISSIVE corrupt branches: unparseable records AND partial-result
+    type mismatches (mismatched field null, other fields recovered,
+    corrupt column set). The parser must recover every good row's typed
+    fields while flagging — not dropping — both corrupt classes. Spark
+    side = from_json PERMISSIVE + corrupt column; oracle = json_valid +
+    typed json_extract with the type-mismatch flagged via the same
+    failed typed extract."""
     from feature_extraction_spark.sources.jsonl import parse_jsonl
 
     e = _events(spark, sf_dir)
@@ -1844,9 +1850,19 @@ def q_jsonl_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string"),
         F.lit("}"),
     )
+    line_badtype = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+        F.lit('", "user_id": "x'),
+        F.col("user_id").cast("string"),
+        F.lit('"}'),
+    )
     j = e.select(
         F.col("event_id").alias("orig_event_id"),
         F.when(F.col("event_id") % 97 == 0, F.substring(line, 1, 10))
+        .when(F.col("event_id") % 89 == 0, line_badtype)
         .otherwise(line)
         .alias("json"),
     )
@@ -4274,17 +4290,22 @@ SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5
 """,
         # identical JSON bytes built by concat in both engines; corrupt =
-        # deterministic truncation; DuckDB parses via json_valid + typed
-        # extracts (same recovered values as Spark PERMISSIVE from_json)
+        # deterministic truncation (%97, malformed JSON) AND a planted
+        # valid-JSON/wrong-type user_id (%89) — Spark PERMISSIVE keeps
+        # the partial result (other fields recovered, mismatched field
+        # null, corrupt set), mirrored here as a failed typed extract
         "jsonl_parse_events": """
 WITH s AS (
   SELECT event_id AS orig_event_id,
     '{"event_id": ' || event_id || ', "event_type": "' || event_type ||
-    '", "user_id": ' || user_id || '}' AS line
+    '", "user_id": ' || user_id || '}' AS line,
+    '{"event_id": ' || event_id || ', "event_type": "' || event_type ||
+    '", "user_id": "x' || user_id || '"}' AS line_badtype
   FROM events
 ), j AS (
   SELECT orig_event_id,
     CASE WHEN orig_event_id % 97 = 0 THEN substr(line, 1, 10)
+         WHEN orig_event_id % 89 = 0 THEN line_badtype
          ELSE line END AS line
   FROM s
 )
@@ -4297,7 +4318,10 @@ SELECT orig_event_id,
   CASE WHEN json_valid(line)
        THEN try_cast(json_extract_string(line, '$.user_id') AS BIGINT)
   END AS user_id,
-  NOT json_valid(line) AS is_corrupt
+  CASE WHEN NOT json_valid(line) THEN TRUE
+       ELSE try_cast(json_extract_string(line, '$.user_id') AS BIGINT)
+            IS NULL
+  END AS is_corrupt
 FROM j
 """,
         # suffix running sum DESC, -1 for the last separator; kept iff the

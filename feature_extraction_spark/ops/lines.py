@@ -7,10 +7,11 @@ LLM-training-data layer the brief adds on top. Public sources only:
 
 - CCNet (Wenzek et al. 2020) deduplicates normalized paragraphs by hash
   across shards; FineWeb (Penedo et al. 2024) drops lines duplicated
-  across the corpus. `line_dedup` implements that as one explode + one
-  hash-partitioned aggregate whose exchange is REUSED by the join back
-  (same shape as exact_dedup's self-join), then one groupBy(doc) to
-  reassemble — two shuffles total, corpus text shuffled once.
+  across the corpus. `line_dedup` keeps the TEXT out of every corpus-
+  wide exchange: only (id, line_idx, 16-byte md5) occurrence triples
+  ride the hash shuffle, drop decisions come back as a doc-grain
+  drop-index table, and the text is rebuilt row-locally from the
+  original document — see the function docstring for the exact plan.
 - C4 (Raffel et al. 2020 §2.2): keep only lines that end in terminal
   punctuation and have >= `min_words_per_line` words; drop any line
   mentioning "javascript"; drop pages containing "lorem ipsum", "{", or a
@@ -20,12 +21,14 @@ LLM-training-data layer the brief adds on top. Public sources only:
   `c4_filters` is pure column algebra (higher-order array functions over
   the split text) — map-only, zero shuffles, codegen-friendly.
 
-Scale notes (100 TB): `line_dedup`'s only corpus-wide state is the
-(line_hash -> keeper) aggregate, whose size is the number of DISTINCT
-normalized lines — it shuffles 16-byte md5 keys plus a tiny struct, never
-the text twice; skewed hashes (boilerplate lines repeated millions of
-times) collapse in the map-side partial aggregate. `c4_filters` is
-embarrassingly parallel. Both keep every expression JVM-native.
+Scale notes (100 TB): `line_dedup`'s corpus-wide exchanges carry only
+(id, line_idx, 16-byte md5) triples — the document text itself shuffles
+at most once (the final doc-grain join, and not at all when the
+drop-index table broadcasts, the common case since it holds only docs
+that LOSE a duplicated line); skewed hashes (boilerplate lines repeated
+millions of times) collapse in the map-side partial aggregate.
+`c4_filters` is embarrassingly parallel. Both keep every expression
+JVM-native.
 """
 
 from __future__ import annotations
@@ -66,49 +69,55 @@ def line_dedup(
     where text_dedup rejoins the surviving ORIGINAL (un-normalized) lines
     in order; a doc whose every line was dropped keeps an empty string.
 
-    Plan: explode -> hash-partition on md5(norm) for the keeper aggregate,
-    exchange reused by the join back -> one groupBy(id) to reassemble.
+    Plan (text never rides a corpus-wide exchange): norm-empty lines are
+    excluded up front (always kept — they need no flags), the remaining
+    occurrences are projected to (id, line_idx, md5) BEFORE any shuffle,
+    the per-hash (count, min-winner) aggregate joins back on the md5 key
+    (exchange-reusable) to flag LOSING occurrences only, losses collapse
+    to a doc-grain drop-index array, and the output text is rebuilt
+    row-locally from the original document via an index filter. The only
+    join that ever sees text is the final doc-grain join against the
+    drop table, which broadcasts whenever it fits (it holds only docs
+    that lose a duplicated line).
     """
-    lines = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _NEWLINE, -1)
-        ).alias("_line_idx", "_line"),
-    ).withColumn("_nrm", _norm_line(F.col("_line"))).withColumn(
-        "_h", F.md5(F.col("_nrm"))
-    )
-
-    keepers = lines.groupBy("_h").agg(
-        F.min(F.struct("_id", "_line_idx")).alias("_keep")
-    )
-
-    tagged = lines.join(keepers, "_h").withColumn(
-        "_kept",
-        (F.length("_nrm") == 0)
-        | (F.struct("_id", "_line_idx") == F.col("_keep")),
-    )
-
-    return (
-        tagged.groupBy("_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_kept"),
-                                F.struct("_line_idx", "_line"),
-                            )
-                        )
-                    ),
-                    lambda s: s["_line"],
-                ),
-                _NEWLINE,
-            ).alias("text_dedup"),
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("_kept").cast("long")).alias("n_lines_kept"),
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    occ = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(text, _NEWLINE, -1)).alias(
+                "_line_idx", "_line"
+            ),
         )
-        .withColumnRenamed("_id", id_col)
+        .withColumn("_nrm", _norm_line(F.col("_line")))
+        .filter(F.length("_nrm") > 0)
+        .select("_id", "_line_idx", F.md5("_nrm").alias("_h"))
+    )
+    stats = occ.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("_id", "_line_idx")).alias("_keep"),
+    )
+    drops = (
+        occ.join(stats.filter(F.col("_n") > 1).select("_h", "_keep"), "_h")
+        .filter(F.struct("_id", "_line_idx") != F.col("_keep"))
+        .groupBy("_id")
+        .agg(F.collect_set("_line_idx").alias("_drop"))
+    )
+    doc = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(text, _NEWLINE, -1).alias("_ls"),
+    )
+    dropped = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    return doc.join(drops, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.array_join(
+            F.filter(
+                F.col("_ls"),
+                lambda line, i: ~F.array_contains(dropped, i),
+            ),
+            _NEWLINE,
+        ).alias("text_dedup"),
+        F.size("_ls").cast("long").alias("n_lines"),
+        (F.size("_ls") - F.size(dropped)).cast("long").alias("n_lines_kept"),
     )
 
 

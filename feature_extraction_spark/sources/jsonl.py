@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 #: canonical transcript schema (BASELINE input_hint) as a DDL string
 TRANSCRIPT_DDL = (
@@ -28,9 +28,17 @@ TRANSCRIPT_DDL = (
 )
 
 
-def _with_corrupt(schema: str | StructType, corrupt_col: str) -> str:
+def _with_corrupt(
+    schema: str | StructType, corrupt_col: str
+) -> str | StructType:
+    """Append the corrupt column to the schema. StructType inputs are
+    extended STRUCTURALLY (never via simpleString surgery, which mangles
+    the colons inside nested struct/array element types into invalid
+    DDL); plain DDL strings get a trailing field."""
     if isinstance(schema, StructType):
-        schema = schema.simpleString()[len("struct<"):-1].replace(":", " ")
+        return StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
     return f"{schema}, {corrupt_col} string"
 
 

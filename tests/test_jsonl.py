@@ -130,3 +130,44 @@ def test_streaming_jsonl_ingestion_with_quarantine(spark, tmp_path):
     assert {r["role"] for r in good.collect()} == {"user", "assistant"}
     bad = spark.read.parquet(bad_dir)
     assert [r["raw"] for r in bad.collect()] == ["broken{"]
+
+def test_parse_jsonl_nested_structtype_schema(spark):
+    # ADVICE r4: simpleString surgery mangled nested colons; the corrupt
+    # field is now appended structurally, so nested schemas parse
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField(
+                "meta",
+                StructType([StructField("turns", IntegerType())]),
+            ),
+            StructField(
+                "tags",
+                ArrayType(
+                    StructType([StructField("name", StringType())])
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ('{"conv_id":"c1","meta":{"turns":3},"tags":[{"name":"a"}]}',),
+            ("not json",),
+        ],
+        "json string",
+    )
+    out = parse_jsonl(df, schema=schema).collect()
+    good = [r for r in out if r["_corrupt"] is None]
+    bad = [r for r in out if r["_corrupt"] is not None]
+    assert len(good) == 1 and len(bad) == 1
+    assert good[0]["meta"]["turns"] == 3
+    assert good[0]["tags"][0]["name"] == "a"
+    assert bad[0]["_corrupt"] == "not json"

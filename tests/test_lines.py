@@ -90,21 +90,27 @@ def test_line_dedup_python_parity(spark, transcripts_pd):
     assert got == exp
 
 
-def test_line_dedup_plan_two_shuffles_reused_exchange(spark, tmp_path):
+def test_line_dedup_plan_text_never_shuffles(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, f"line {i % 3}\nother {i}") for i in range(100)],
         "doc_id long, text string",
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "d"))
     plan = _plan(line_dedup(spark.read.parquet(str(tmp_path / "d"))))
-    # the (hash -> keeper) table is distinct-line-sized: when it fits it
-    # BROADCASTS (corpus text never shuffles for the join; 2 exchanges
-    # total — keeper agg + doc reassembly); when it doesn't, the join
-    # shuffles on _h and REUSES the aggregate's exchange. Either way the
-    # text moves at most twice and there is no third corpus scan.
-    assert plan.count(SHUFFLE) <= 2, plan
-    assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan, plan
-    assert plan.count("FileScan parquet") <= 2, plan
+    # every hash exchange is keyed (and loaded) with id/line_idx/md5
+    # triples only — document TEXT never rides a corpus-wide exchange
+    exch = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exch) == 2, plan  # keeper-stats agg + doc-grain drop agg
+    assert all("(_h#" in ln or "(_id#" in ln for ln in exch), plan
+    # the only join that sees text is the final doc-grain join, and the
+    # drop-index table (docs that LOSE a line) is the broadcast side
+    assert "BroadcastHashJoin [_id" in plan, plan
+    # text is rebuilt row-locally by an index filter, not re-collected
+    assert "array_join(filter(" in plan, plan
+    # the price of text-free exchanges: <= 3 column-pruned scans
+    assert plan.count("FileScan parquet") <= 3, plan
 
 
 # ---------------------------------------------------------------- c4_filters
