@@ -1921,40 +1921,77 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-def q_quality_model_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned quality filter (GPT-3-style classifier over the native
-    heuristic features). The synthetic docs carry no quality signal of
-    their own, so separable structure is PLANTED (pii_scrub device):
-    even doc_ids gain stopword-rich clean text, odd ids gain symbol/spam
-    junk; the classifier trains on those labels and scores the corpus.
-    Iterative L-BFGS is not SQL-expressible -> rows-only driver check;
-    value evidence in tests/test_quality_model.py."""
-    from feature_extraction_spark.ops.quality_model import (
-        score_quality,
-        train_quality_classifier,
-    )
+# Planted quality signal shared by the Spark query AND the DuckDB oracle
+# (single source of truth for the literals):
+_QM_CLEAN = (
+    " the committee said that it would have to review the"
+    " proposal with care and that the details were still"
+    " to be worked out over the coming weeks" * 2
+)
+_QM_JUNK = " !!! $$$ zz zz zz WIN WIN !!!" * 6
 
+# Frozen quality classifier: train_quality_classifier over the planted
+# sf0.01 corpus (even doc_ids + _QM_CLEAN, odd + _QM_JUNK, label = even),
+# pinned as literals so quality_model_docs is a pure (non-iterative)
+# scoring query with a value-level DuckDB oracle — the realistic serving
+# shape (classifier trained once, scores everywhere), the same contract
+# as _BPE_MERGES and _PQ_CODEBOOK. Reproducible: the L-BFGS fit on fixed
+# data/params is deterministic (re-fit equality checked when frozen).
+_QM_COEF: list[float] = [
+    0.013321037762608144,   # q_n_chars
+    -0.016098193111056185,  # q_n_words
+    10.355327972231704,     # q_mean_word_len
+    -77.7201338991442,      # q_punct_ratio
+    -116.58020084871598,    # q_upper_ratio
+    47.63056377699719,      # q_stopword_ratio
+    71.83132312726379,      # q_distinct_ratio
+]
+_QM_INTERCEPT = -71.31757118734775
+
+
+def _qm_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    planted = d.withColumn(
+    return d.withColumn(
         "text",
         F.when(
             F.col("doc_id") % 2 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(
-                    " the committee said that it would have to review the"
-                    " proposal with care and that the details were still"
-                    " to be worked out over the coming weeks" * 2
-                ),
-            ),
-        ).otherwise(
-            F.concat(F.col("text"), F.lit(" !!! $$$ zz zz zz WIN WIN !!!" * 6))
-        ),
+            F.concat(F.col("text"), F.lit(_QM_CLEAN)),
+        ).otherwise(F.concat(F.col("text"), F.lit(_QM_JUNK))),
     ).withColumn("label", (F.col("doc_id") % 2 == 0).cast("double"))
-    model = train_quality_classifier(planted)
-    out = score_quality(model, planted)
+
+
+def q_quality_model_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (GPT-3-style classifier over the native
+    heuristic features), FROZEN-coefficient serving path: the planted
+    corpus (even doc_ids gain stopword-rich clean text, odd ids gain
+    symbol/spam junk) is scored by sigmoid(w·x + b) with the pinned
+    _QM_COEF/_QM_INTERCEPT literals — pure native column math, map-only.
+    The DuckDB oracle re-derives the q_* features from first principles
+    (same SQL family as quality_docs), applies the identical NaN->0
+    imputation and the identical left-associated margin chain, and
+    value-checks prob + the keep decision. The TRAINER (iterative
+    L-BFGS) stays driver-row-free by design; its value evidence is
+    tests/test_quality_model.py (planted separable corpora, held-out
+    AUC, refit determinism)."""
+    from feature_extraction_spark.ops.quality_model import (
+        QualityModel,
+        score_quality,
+    )
+    from feature_extraction_spark.ops.quality_model import (
+        QUALITY_FEATURES as _QF,
+    )
+
+    model = QualityModel(
+        features=list(_QF),
+        coefficients=list(_QM_COEF),
+        intercept=_QM_INTERCEPT,
+    )
+    out = score_quality(model, _qm_planted(spark, sf_dir))
     return out.select(
-        "doc_id", "label", F.round("q_model_prob", 4).alias("q_model_prob")
+        "doc_id",
+        "label",
+        F.round("q_model_prob", 6).alias("q_model_prob"),
+        (F.col("q_model_prob") >= 0.5).alias("kept"),
     )
 
 
@@ -2926,6 +2963,71 @@ LIMIT {k}
 """
 
 
+def _quality_model_sql() -> str:
+    """DuckDB oracle for quality_model_docs: replant the quality signal
+    from the SAME _QM_CLEAN/_QM_JUNK literals, re-derive the q_* features
+    from first principles (the proven quality_docs SQL family, unrounded),
+    fold the NaN->0 imputation into the degenerate-denominator CASEs, and
+    replay sigmoid(w·x + b) with the frozen coefficients in the identical
+    left-associated order (coefficients round-trip via '<repr>'::DOUBLE so
+    both engines hold the same 64-bit values)."""
+    clean = _QM_CLEAN.replace("'", "''")
+    junk = _QM_JUNK.replace("'", "''")
+    feats = [
+        "f_n_chars",
+        "f_n_words",
+        "f_mean_wlen",
+        "f_punct",
+        "f_upper",
+        "f_stop",
+        "f_distinct",
+    ]
+    margin = f"('{_QM_INTERCEPT!r}'::DOUBLE)"
+    for w, f in zip(_QM_COEF, feats):
+        margin += f" + ('{w!r}'::DOUBLE) * {f}"
+    stops = (
+        "'the','and','of','to','a','in','is','it','you','that','was',"
+        "'for','on','are','with','as','this','have','be'"
+    )
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN text || '{clean}'
+         ELSE text || '{junk}' END AS text,
+    CASE WHEN doc_id % 2 = 0 THEN (1.0::DOUBLE) ELSE (0.0::DOUBLE) END AS label
+  FROM documents
+), b AS (
+  SELECT doc_id, label,
+    length(text) AS n_chars,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), w -> length(w) > 0) AS words,
+    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS punct,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n
+  FROM p
+), m AS (
+  SELECT doc_id, label,
+    n_chars::DOUBLE AS f_n_chars,
+    len(words)::DOUBLE AS f_n_words,
+    CASE WHEN len(words) = 0 THEN (0.0::DOUBLE)
+         ELSE list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words) END AS f_mean_wlen,
+    CASE WHEN n_chars = 0 THEN (0.0::DOUBLE)
+         ELSE punct::DOUBLE / n_chars END AS f_punct,
+    CASE WHEN n_chars = 0 THEN (0.0::DOUBLE)
+         ELSE upper_n::DOUBLE / n_chars END AS f_upper,
+    CASE WHEN len(words) = 0 THEN (0.0::DOUBLE)
+         ELSE len(list_filter(words, w -> w IN ({stops})))::DOUBLE / len(words) END AS f_stop,
+    CASE WHEN len(words) = 0 THEN (0.0::DOUBLE)
+         ELSE len(list_distinct(words))::DOUBLE / len(words) END AS f_distinct
+  FROM b
+), s AS (
+  SELECT doc_id, label,
+    (1.0::DOUBLE) / ((1.0::DOUBLE) + exp(-({margin}))) AS prob
+  FROM m
+)
+SELECT doc_id, label, round(prob, 6) AS q_model_prob, prob >= 0.5 AS kept
+FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     verbosity = f"""
 WITH per_doc AS (
@@ -3893,6 +3995,10 @@ LIMIT 30
         "pos_docs": pos_docs,
         "liwc_docs": _liwc_docs_sql(),
         "quality_docs": quality,
+        # frozen-coefficient serving path (r5): sigmoid(w·x+b) replayed
+        # over first-principles features — retires the rows-only status;
+        # only the TRAINER (iterative L-BFGS) stays SQL-inexpressible
+        "quality_model_docs": _quality_model_sql(),
         "gopher_docs": _gopher_sql(),
         "bm25_topk_docs": _bm25_sql(BM25_QUERY),
         # exact trailing-window quantiles; windowed quantile_cont is the

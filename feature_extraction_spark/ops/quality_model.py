@@ -15,9 +15,13 @@ Labels: any boolean/0-1 column. ``weak_labels_from_gopher`` derives the
 standard weak supervision (Gopher keep-decision as the positive class) so
 a curated positive set is optional.
 
-No SQL oracle (iterative optimizer), so driver exposure is rows-only by
-design; value-level evidence is tests/test_quality_model.py (planted
-separable corpora, AUC on held-out split, NaN-document scoring).
+Oracle contract (r5): the SCORING path is value-oracled in the driver —
+`quality_model_docs` freezes trained coefficients as literals (same
+contract as the BPE merge list / PQ codebook) and DuckDB replays
+sigmoid(w·x + b) over first-principles features. Only the TRAINER
+(iterative L-BFGS) is SQL-inexpressible; its value evidence is
+tests/test_quality_model.py (planted separable corpora, AUC on held-out
+split, NaN-document scoring, refit determinism).
 """
 
 from __future__ import annotations
