@@ -749,6 +749,77 @@ def q_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out.select(*keep), keep[1:])
 
 
+def q_graph_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gates the ITERATIVE speech-graph metrics (lcc / lsc /
+    diameter / average shortest path — reference
+    text_features/extract_graph.py:94-105,142-150), which graph_docs
+    cannot oracle from first principles (DuckDB has no iterative graph
+    recursion over multigraphs). Device: parameterized component
+    structures with CLOSED-FORM metric values are planted per doc_id
+    residue — fam = doc_id%3, size n = 3 + doc_id%5:
+
+    - fam 0, path P_n (one turn "w0 .. w(n-1)"): lcc=n, lsc=1 (directed
+      path has singleton SCCs), di=n-1, asp=(n+1)/3.
+    - fam 1, cycle C_n (one turn "w0 .. w(n-1) w0"): lcc=n, lsc=n
+      (strongly connected), di=floor(n/2), asp=(n+1)/4 for odd n,
+      n^2/(4(n-1)) for even n.
+    - fam 2, star S_n + isolated edge (turns "h w1".."h w(n-1)" +
+      "x0 x1" — per-turn segments keep the hub edges directed OUT):
+      lcc=n, lsc=1, di=2, asp=((n-1)^2+1)/(n(n-1)/2+1) over BOTH
+      components' pairs — exercising the multi-component accumulation.
+
+    The kernel sees only deterministic planted token streams, so the
+    oracle is pure per-row arithmetic on doc_id; every division is
+    exact-int over exact-int, hence the same rational rounds identically
+    in both engines."""
+    from feature_extraction_spark.ops.graph import graph_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = (F.col("doc_id") % 5 + 3).cast("int")
+    fam = (F.col("doc_id") % 3).cast("int")
+    path = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(F.lit("w"), i.cast("string")),
+        ),
+    )
+    cyc = F.concat(path, F.lit(" w0"))
+    star_turns = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.lit("h w"), i.cast("string")),
+        ),
+        F.array(F.lit("x0 x1")),
+    )
+    turns = (
+        F.when(fam == 0, F.array(path))
+        .when(fam == 1, F.array(cyc))
+        .otherwise(star_turns)
+    )
+    t = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.posexplode(turns).alias("turn_idx", "text"),
+    )
+    g = graph_features(t, level="conv")
+    out = g.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "lcc_naive",
+        "lsc_naive",
+        "di_naive",
+        "asp_naive",
+    ).withColumn("fam", (F.col("doc_id") % 3).cast("int")).withColumn(
+        "n", (F.col("doc_id") % 5 + 3).cast("int")
+    )
+    return _r6(
+        out.select(
+            "doc_id", "fam", "n", "lcc_naive", "lsc_naive", "di_naive",
+            "asp_naive",
+        ),
+        ["lcc_naive", "lsc_naive", "di_naive", "asp_naive"],
+    )
+
+
 def q_multilevel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS single-pass multi-level aggregation (reference runs one
     job per --level; this computes conv+day+subject in ONE shuffle)."""
@@ -2202,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_stats_events": q_daily_stats_events,
         "asof_purchase_tolerance": q_asof_purchase_tolerance,
         "graph_docs": q_graph_docs,
+        "graph_planted_docs": q_graph_planted_docs,
         "multilevel_events": q_multilevel_events,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -4168,6 +4240,28 @@ LIMIT 25
         "neardup_pairs_emb_lsh": neardup_emb,
         "lsh_topk": cosine_topk,
         "graph_docs": _graph_docs_sql(),
+        # iterative graph metrics over PLANTED closed-form structures:
+        # pure per-row arithmetic on doc_id (see q_graph_planted_docs)
+        "graph_planted_docs": """
+WITH p AS (
+  SELECT doc_id, (doc_id % 3)::INT AS fam, (3 + doc_id % 5)::INT AS n
+  FROM documents
+)
+SELECT doc_id, fam, n,
+  round(n::DOUBLE, 6) AS lcc_naive,
+  round(CASE WHEN fam = 1 THEN n::DOUBLE ELSE (1.0::DOUBLE) END, 6)
+    AS lsc_naive,
+  round(CASE WHEN fam = 0 THEN (n - 1)::DOUBLE
+             WHEN fam = 1 THEN floor(n / 2.0)
+             ELSE (2.0::DOUBLE) END, 6) AS di_naive,
+  round(CASE WHEN fam = 0 THEN (n + 1)::DOUBLE / 3
+             WHEN fam = 1 THEN
+               CASE WHEN n % 2 = 1 THEN (n + 1)::DOUBLE / 4
+                    ELSE (n * n)::DOUBLE / (4 * (n - 1)) END
+             ELSE ((n - 1) * (n - 1) + 1)::DOUBLE
+                  / ((n * (n - 1))::DOUBLE / 2 + 1) END, 6) AS asp_naive
+FROM p
+""",
         "dedup_clusters_docs": dedup_clusters,
         "chunk_docs": chunk_docs,
         "hash_split_docs": hash_split_docs,
