@@ -749,6 +749,51 @@ def q_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out.select(*keep), keep[1:])
 
 
+def q_phrase_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gensim-Phrases train + apply (reference text_util.py:50-93 —
+    init_bigram_trigram_models / extract_bigrams), closing the one
+    reference dataflow that had no engine counterpart. The trainer is
+    NOT iterative (one counting pass + the original-scorer threshold
+    rule), so train AND apply are both value-oracled. The synthetic
+    corpus has no collocations that beat unigram frequencies (verified:
+    0 phrases at every reasonable threshold), so deterministic ones are
+    PLANTED: doc_id%5==0 appends 'neural network' twice, doc_id%7==0
+    appends 'machine learning'; the synthetic 31-word vocabulary keeps
+    every gensim score small (score ~ V/c12 for exclusive pairs), so
+    the threshold is 0.06 — measured to separate the planted pairs
+    (>= 0.085 at both driver SFs) from every natural pair (<= 0.042);
+    the trained table is the top-20 by
+    (score desc, w1, w2) and the rewrite is the exact left-to-right
+    non-overlapping greedy (ops/lm.py merge_phrases). The oracle replays
+    counting, scoring, selection, AND the greedy fold (list_reduce with
+    a marker char on merged tokens)."""
+    from feature_extraction_spark.ops.lm import merge_phrases, train_phrases
+
+    d = _docs(spark, sf_dir)
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" neural network neural network"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" machine learning")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    ph = train_phrases(planted, min_count=3, threshold=0.06)
+    pairs = [
+        (r["w1"], r["w2"])
+        for r in ph.orderBy(F.desc("score"), "w1", "w2").limit(20).collect()
+    ]
+    out = merge_phrases(planted, pairs)
+    return out.select(
+        "doc_id", "text_phrased", "n_tokens", "n_tokens_phrased"
+    )
+
+
 def q_graph_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gates the ITERATIVE speech-graph metrics (lcc / lsc /
     diameter / average shortest path — reference
@@ -2274,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_tolerance": q_asof_purchase_tolerance,
         "graph_docs": q_graph_docs,
         "graph_planted_docs": q_graph_planted_docs,
+        "phrase_merge_docs": q_phrase_merge_docs,
         "multilevel_events": q_multilevel_events,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -3032,6 +3078,77 @@ SELECT doc_id, round(bm25, 6) AS bm25
 FROM scored
 ORDER BY round(bm25, 6) DESC, doc_id
 LIMIT {k}
+"""
+
+
+def _phrase_merge_sql() -> str:
+    """DuckDB oracle for phrase_merge_docs: replant the collocations,
+    recount unigrams/bigrams, replay the gensim original scorer
+    ((c12 - min_count) * V / (c1 * c2), all exact BIGINTs so the doubles
+    agree bit-for-bit), select the same top-20, and replay the greedy
+    non-overlapping merge as a list_reduce whose accumulator is the
+    space-joined output string: a token merged in this pass is prefixed
+    with chr(1) (corpus tokens never contain it) so it cannot merge
+    again — gensim Phraser's resume-after-merge rule — and the marker is
+    stripped at the end."""
+    last = "regexp_extract(acc, '[^ ]*$')"
+    fold = (
+        f"list_reduce(w, (acc, x) -> CASE "
+        f"WHEN NOT contains({last}, chr(1)) "
+        f"AND list_contains(plist, {last} || chr(31) || x) "
+        f"THEN acc[1:length(acc) - length({last})] || chr(1) || "
+        f"{last} || '_' || x "
+        f"ELSE acc || ' ' || x END)"
+    )
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 5 = 0 THEN ' neural network neural network'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' machine learning' ELSE '' END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+    list_filter(str_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS w
+  FROM p
+), uni AS (
+  SELECT t, count(*) AS c
+  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+), v AS (
+  SELECT count(*)::DOUBLE AS vs FROM uni
+), bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+    WHERE len(w) >= 2
+  ) GROUP BY w1, w2
+), sc AS (
+  SELECT w1, w2,
+    ((c12 - 3)::DOUBLE * vs) / (u1.c::DOUBLE * u2.c) AS score
+  FROM bi
+  JOIN uni u1 ON bi.w1 = u1.t
+  JOIN uni u2 ON bi.w2 = u2.t
+  CROSS JOIN v
+  WHERE c12 >= 3
+), ph AS (
+  SELECT w1 || chr(31) || w2 AS key FROM sc WHERE score > 0.06
+  ORDER BY score DESC, w1, w2 LIMIT 20
+), pl AS (
+  SELECT coalesce(list(key), []) AS plist FROM ph
+), folded AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) = 0 THEN ''
+         ELSE replace({fold}, chr(1), '') END AS text_phrased
+  FROM toks CROSS JOIN pl
+)
+SELECT doc_id, text_phrased,
+  len(w)::BIGINT AS n_tokens,
+  CASE WHEN text_phrased = '' THEN 0
+       ELSE len(str_split(text_phrased, ' ')) END::BIGINT
+    AS n_tokens_phrased
+FROM folded
 """
 
 
@@ -4071,6 +4188,9 @@ LIMIT 30
         # over first-principles features — retires the rows-only status;
         # only the TRAINER (iterative L-BFGS) stays SQL-inexpressible
         "quality_model_docs": _quality_model_sql(),
+        # gensim-Phrases train+apply over planted collocations (r5):
+        # counting + threshold + greedy merge all replayed in SQL
+        "phrase_merge_docs": _phrase_merge_sql(),
         "gopher_docs": _gopher_sql(),
         "bm25_topk_docs": _bm25_sql(BM25_QUERY),
         # exact trailing-window quantiles; windowed quantile_cont is the

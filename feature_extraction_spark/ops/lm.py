@@ -351,3 +351,143 @@ def pmi_collocations(
             F.col("pmi").desc(), F.col("w1"), F.col("w2")
         ).limit(top_k)
     return out
+
+
+def train_phrases(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    threshold: float = 10.0,
+) -> DataFrame:
+    """Collocation detection with the gensim-Phrases ORIGINAL scorer
+    (Mikolov et al. 2013 eq. 6; the reference's phrase models are built
+    exactly this way — text_util.py:50-71, gensim.models.Phrases):
+    score(a, b) = (c_ab - min_count) * V / (c_a * c_b) over UNIGRAM
+    counts c_a/c_b and vocabulary size V (distinct tokens); a bigram is
+    a phrase when score > threshold. NOT iterative — one counting pass
+    plus a threshold rule, so the whole trainer is SQL-expressible and
+    value-oracled in the driver (phrase_merge_docs).
+
+    Plan: the corpus is scanned twice (unigram counts; row-locally
+    zipped bigram counts) — both map-side-combinable hash aggregations;
+    the score join runs on the vocabulary-sized tables (AQE broadcasts
+    the unigram side when it fits) and V rides a broadcast crossJoin.
+    Returns (w1, w2, c12, c1, c2, score) for bigrams with
+    c12 >= min_count, every arithmetic step on exact BIGINTs so the
+    score doubles are engine-reproducible bit-for-bit.
+    """
+    d = _doc_words(df, text_col)
+    uni = (
+        d.select(F.explode("_w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vs = uni.agg(F.count(F.lit(1)).cast("double").alias("_vs"))
+    big = (
+        d.select(F.explode(_bigram_pairs()).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    score = (
+        (F.col("c12") - F.lit(int(min_count))).cast("double") * F.col("_vs")
+    ) / (F.col("c1").cast("double") * F.col("c2"))
+    return (
+        big.filter(F.col("c12") >= int(min_count))
+        .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(vs))
+        .select("w1", "w2", "c12", "c1", "c2", score.alias("score"))
+        .filter(F.col("score") > float(threshold))
+    )
+
+
+def merge_phrases(
+    df: DataFrame,
+    phrases: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "text_phrased",
+    delimiter: str = "_",
+) -> DataFrame:
+    """Apply a trained phrase table: rewrite each document's token stream
+    by joining detected collocations into single tokens ("a b" -> "a_b"),
+    with gensim Phraser's exact left-to-right NON-OVERLAPPING greedy
+    semantics (reference text_util.py:73-93: a merged token is emitted
+    and scanning resumes AFTER it, so it can never merge again in the
+    same pass; run the op twice for trigrams, exactly like the
+    reference's bigram-then-trigram chain).
+
+    The phrase table is vocabulary-bounded and ships as a LITERAL array
+    (the same in-memory contract as gensim's Phraser object and the
+    frozen _BPE_MERGES); the rewrite is one row-local index fold
+    (F.aggregate over token positions with a skip flag — lookahead
+    greedy), so the op is map-only: zero shuffles, nothing driver-side
+    at scale. Membership tests are O(|phrases|) per position; for phrase
+    tables beyond a few thousand entries, pre-filter with
+    ``train_phrases(...).orderBy(score desc).limit(k)``.
+
+    Adds ``out_col`` (the rewritten space-joined text) plus
+    ``n_tokens`` / ``n_tokens_phrased``. Empty/NULL docs keep a row with
+    an empty string and zero counts.
+    """
+    sep = "\x1f"
+    keys = F.array(
+        *[F.lit(f"{a}{sep}{b}") for a, b in phrases]
+    ) if phrases else F.array().cast("array<string>")
+    toks = ws_tokens_expr(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    d = df.withColumn("_pm_w", toks)
+    w = F.col("_pm_w")
+
+    def step(acc, i):
+        # i is 1-based (never 0/negative, even on the empty-doc guard row)
+        cur = F.try_element_at(w, i)
+        nxt = F.try_element_at(w, i + 1)
+        is_phrase = F.array_contains(
+            keys, F.concat_ws(sep, cur, nxt)
+        ) & nxt.isNotNull()
+        return (
+            F.when(
+                acc["skip"],
+                F.struct(
+                    acc["out"].alias("out"), F.lit(False).alias("skip")
+                ),
+            )
+            .when(
+                is_phrase,
+                F.struct(
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.concat(cur, F.lit(delimiter), nxt)
+                        ),
+                    ).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(cur)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1))),
+        zero,
+        step,
+    )["out"]
+    merged = F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
+        folded
+    )
+    return (
+        d.withColumn("_pm_m", merged)
+        .withColumn(out_col, F.array_join(F.col("_pm_m"), " "))
+        .withColumn("n_tokens", F.size(w).cast("long"))
+        .withColumn("n_tokens_phrased", F.size("_pm_m").cast("long"))
+        .drop("_pm_w", "_pm_m")
+    )

@@ -157,3 +157,90 @@ def test_npmi_degenerate_single_pair_is_one(spark):
     r = out[0]
     assert (r["w1"], r["w2"]) == ("hello", "world")
     assert r["pmi"] == 0.0 and r["npmi"] == 1.0
+
+
+# ------------------------------------------------------------- phrases
+
+
+def test_merge_phrases_greedy_python_parity(spark):
+    from feature_extraction_spark.ops.lm import merge_phrases
+
+    rows = [
+        (0, "new york city is in new york state"),
+        (1, "a a a a a"),            # overlap chain: greedy pairs
+        (2, ""),
+        (3, None),
+        (4, "new york"),
+        (5, "b new york new york b a a"),
+        (6, "one token"),
+    ]
+    P = [("new", "york"), ("a", "a"), ("york", "new")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_phrased"], r["n_tokens"], r["n_tokens_phrased"])
+        for r in merge_phrases(df, P).collect()
+    }
+
+    def greedy(toks):
+        s, o, i = set(P), [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and (toks[i], toks[i + 1]) in s:
+                o.append(toks[i] + "_" + toks[i + 1])
+                i += 2
+            else:
+                o.append(toks[i])
+                i += 1
+        return o
+
+    for i, t in rows:
+        toks = (t or "").lower().split()
+        exp = greedy(toks)
+        assert got[i] == (" ".join(exp), len(toks), len(exp)), i
+    # the chain case pins NON-OVERLAPPING semantics: 5 a's -> a_a a_a a
+    assert got[1][0] == "a_a a_a a"
+
+
+def test_train_phrases_gensim_scorer_parity(spark):
+    from collections import Counter
+
+    from feature_extraction_spark.ops.lm import train_phrases
+
+    texts = [
+        "the quick fox likes new york",
+        "new york is big and new york is loud",
+        "the slow fox avoids new york",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["c1"], r["c2"], r["score"])
+        for r in train_phrases(df, min_count=2, threshold=0.0).collect()
+    }
+    toks = [t.lower().split() for t in texts]
+    uni = Counter(w for ts in toks for w in ts)
+    bi = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    V = float(len(uni))
+    exp = {}
+    for (a, b), c12 in bi.items():
+        if c12 >= 2:
+            score = ((c12 - 2) * V) / (uni[a] * float(uni[b]))
+            if score > 0.0:
+                exp[(a, b)] = (c12, uni[a], uni[b], score)
+    assert got == exp
+    assert ("new", "york") in got  # 4 occurrences -> positive score
+
+
+def test_merge_phrases_map_only_plan(spark, tmp_path):
+    from feature_extraction_spark.ops.lm import merge_phrases
+
+    df = spark.createDataFrame(
+        [(i, "new york is new york") for i in range(20)],
+        "doc_id long, text string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "d"))
+    out = merge_phrases(
+        spark.read.parquet(str(tmp_path / "d")), [("new", "york")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # literal phrase table: zero shuffle
