@@ -540,9 +540,22 @@ def q_pos_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_liwc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIWC category proportions per source group. r5: a NULL-text-only
+    entity ('zz~nulltext') is UNIONED in so the all-NaN-row convention
+    for NULL-text entities (the r2 ADVICE fix — num_words 0, every
+    proportion NaN, row NOT dropped) is exercised at the driver gate."""
     from feature_extraction_spark.ops.liwc import liwc_features, parse_dic
 
     t = _docs_as_transcripts(spark, sf_dir, "source")
+    inj = t.sparkSession.range(1).select(
+        F.lit("zz~nulltext").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_millis(F.lit(0)).alias("ts"),
+    )
+    t = t.unionByName(inj)
     d = parse_dic(_DIC)
     out = liwc_features(t, d, level="conv").withColumnRenamed("conv_id", "source")
     return _r6(out, [f"{c}_liwc" for c in d.categories])
@@ -601,10 +614,18 @@ def q_lm_ppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM perplexity scoring (Wenzek et al. 2020):
     train the add-k bigram model on the documents corpus and self-score
     every doc. log_ppl is a per-doc mean of up-to-hundreds of ln() terms —
-    summation-order-sensitive at the ulp, so _r4 (CORRECTNESS_r01 lesson)."""
+    summation-order-sensitive at the ulp, so _r4 (CORRECTNESS_r01 lesson).
+    r5: three degenerate docs (NULL / empty / whitespace-only text) are
+    UNIONED in so the NaN-row convention is exercised at the driver gate,
+    not just vacuously green — they contribute no tokens (the trained
+    model is unchanged) and must come back with n_tokens 0, log_ppl NaN."""
     from feature_extraction_spark.ops.lm import train_bigram_lm, with_perplexity
 
-    docs = _docs(spark, sf_dir)
+    inj = spark.createDataFrame(
+        [(1000001, None), (1000002, ""), (1000003, "   ")],
+        "doc_id long, text string",
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text").unionByName(inj)
     lm = train_bigram_lm(docs, k=0.1)
     out = with_perplexity(docs, lm).select(
         "doc_id",
@@ -1190,13 +1211,35 @@ _TIMING_COLS = [
     "short_utts_per_min",
 ]
 
+# Per-column rounding digits, chosen by a BOUNDARY SCAN of the exact
+# oracle values at sf0.01 + sf0.001 (summation-order ulps only flip a
+# rounded value when the true value sits ON a round-half boundary):
+# segments_mean lands exactly on 6dp boundaries (0.8046875 — flipped
+# live between 8- and 32-core partial-agg orders, the CORRECTNESS_r01
+# lesson) -> _r4; silences_mean / spk_ratio / sil_ratio land exactly ON
+# 4dp boundaries (sums of 2-decimal seg_secs over the 600 s denominator
+# give 5-decimal rationals like 0.09565) -> those stay _r6. Order
+# statistics (max/min/med), exact counts and the exact total stay _r6.
+_TIMING_COLS_R4 = [
+    "segments_mean", "segments_std", "wps_mean", "wps_std",
+    "words_mean", "words_std", "silences_std",
+    "spk_duration", "sil_duration", "spk_sil_ratio", "sps", "wps",
+    "segs_per_min", "short_utts_per_min",
+]
+
 
 def q_timing_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full timing pack (U9/W2/J2) over a word_timing column synthesized
     deterministically from events (testdata has no ASR timing table; the
     SAME closed-form synthesis runs in the DuckDB oracle):
     per event: n = id%5+1 words of 0.2 s, leading gap id%2 * 30 ms,
-    inter-word gaps id%3 * 50 ms, trailing 40 ms (100 ns units)."""
+    inter-word gaps id%3 * 50 ms, trailing 40 ms (100 ns units).
+    r5: events with id%101==0 get a NULL word_timing (a turn with no
+    word-level ASR output) — the op must treat it as an EMPTY word list
+    (turn still counts at segment grain with wps 0; contributes no
+    word/silence rows), exercising the NULL-wt guard at the driver gate
+    instead of leaving it green-by-vacuity; the oracle drops those
+    events from the word/silence grains and zeroes their wps only."""
     from feature_extraction_spark.ops.timing import timing_stats
 
     e = _events(spark, sf_dir)
@@ -1212,6 +1255,7 @@ def q_timing_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lead + i.cast("long") * (F.lit(D) + g)).alias("Offset"),
         ),
     )
+    wt = F.when(F.col("event_id") % 101 != 0, wt)  # NULL wt for %101
     t = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.lit(0).cast("long").alias("offset"),
@@ -1230,7 +1274,10 @@ def q_timing_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.select(
         F.col("conv_id").cast("bigint").alias("user_id"), *_TIMING_COLS
     )
-    return _r6(out, _TIMING_COLS)
+    return _r4(
+        _r6(out, [c for c in _TIMING_COLS if c not in _TIMING_COLS_R4]),
+        _TIMING_COLS_R4,
+    )
 
 
 def q_conf_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2744,8 +2791,13 @@ def _liwc_docs_sql() -> str:
         for c in d.categories
     )
     return f"""
-WITH per AS (SELECT source, str_split(text, ' ') AS w FROM documents),
-nw AS (SELECT source, sum(len(w)) AS num_words FROM per GROUP BY source),
+WITH d0 AS (
+  SELECT source, text FROM documents
+  UNION ALL SELECT 'zz~nulltext', NULL
+),
+per AS (SELECT source, str_split(text, ' ') AS w FROM d0),
+nw AS (SELECT source, coalesce(sum(len(w)), 0) AS num_words
+       FROM per GROUP BY source),
 toks AS (
   SELECT source, unnest(w) AS tok FROM per
   UNION ALL
@@ -3759,7 +3811,11 @@ WITH e AS (
     (l + n * 2000000 + (n - 1) * g + 400000)::DOUBLE * 1e-7 AS seg_sec
   FROM e
 ), seg2 AS (
-  SELECT *, n / seg_sec AS wps_seg FROM seg
+  -- NULL-word_timing events (%101) keep their segment row but score
+  -- wps 0 (no words observed)
+  SELECT *, (CASE WHEN event_id % 101 = 0 THEN 0 ELSE n END) / seg_sec
+    AS wps_seg
+  FROM seg
 ), turn_agg AS (
   SELECT user_id,
     max(seg_sec) AS segments_max, min(seg_sec) AS segments_min,
@@ -3775,6 +3831,7 @@ WITH e AS (
 ), word_rows AS (
   SELECT user_id, (2000000)::DOUBLE * 1e-4 AS wd
   FROM e, LATERAL (SELECT unnest(generate_series(1, e.n)) ) _u
+  WHERE e.event_id % 101 <> 0
 ), word_agg AS (
   SELECT user_id,
     max(wd) AS words_max, min(wd) AS words_min, avg(wd) AS words_mean,
@@ -3782,13 +3839,15 @@ WITH e AS (
     count(*)::DOUBLE AS word_count
   FROM word_rows GROUP BY user_id
 ), sil_rows AS (
-  SELECT user_id, l::DOUBLE * 1e-4 AS sd FROM e WHERE l <> 0
+  SELECT user_id, l::DOUBLE * 1e-4 AS sd FROM e
+  WHERE l <> 0 AND event_id % 101 <> 0
   UNION ALL
   SELECT user_id, g::DOUBLE * 1e-4 AS sd
   FROM e, LATERAL (SELECT unnest(generate_series(1, e.n - 1))) _u
-  WHERE g <> 0
+  WHERE g <> 0 AND e.event_id % 101 <> 0
   UNION ALL
   SELECT user_id, (400000)::DOUBLE * 1e-4 AS sd FROM e
+  WHERE event_id % 101 <> 0
 ), sil_agg AS (
   SELECT user_id,
     max(sd) AS silences_max, min(sd) AS silences_min, avg(sd) AS silences_mean,
@@ -3805,31 +3864,31 @@ WITH e AS (
 )
 SELECT user_id,
   round(segments_max, 6) AS segments_max, round(segments_min, 6) AS segments_min,
-  round(segments_mean, 6) AS segments_mean, round(segments_med, 6) AS segments_med,
-  round(segments_std, 6) AS segments_std,
+  round(segments_mean, 4) AS segments_mean, round(segments_med, 6) AS segments_med,
+  round(segments_std, 4) AS segments_std,
   round(wps_max, 6) AS wps_max, round(wps_min, 6) AS wps_min,
-  round(wps_mean, 6) AS wps_mean, round(wps_med, 6) AS wps_med,
-  round(wps_std, 6) AS wps_std,
+  round(wps_mean, 4) AS wps_mean, round(wps_med, 6) AS wps_med,
+  round(wps_std, 4) AS wps_std,
   round(words_max, 6) AS words_max, round(words_min, 6) AS words_min,
-  round(words_mean, 6) AS words_mean, round(words_med, 6) AS words_med,
-  round(words_std, 6) AS words_std,
+  round(words_mean, 4) AS words_mean, round(words_med, 6) AS words_med,
+  round(words_std, 4) AS words_std,
   round(silences_max, 6) AS silences_max, round(silences_min, 6) AS silences_min,
   round(silences_mean, 6) AS silences_mean, round(silences_med, 6) AS silences_med,
-  round(silences_std, 6) AS silences_std,
-  round(spk_duration, 6) AS spk_duration,
+  round(silences_std, 4) AS silences_std,
+  round(spk_duration, 4) AS spk_duration,
   round(segment_count, 6) AS segment_count,
   round(short_utt_count, 6) AS short_utt_count,
   round(word_count, 6) AS word_count,
   round(sil_count, 6) AS sil_count,
-  round(sil_duration, 6) AS sil_duration,
-  round(spk_duration / sil_duration, 6) AS spk_sil_ratio,
-  round(sil_count / spk_duration, 6) AS sps,
-  round(word_count / spk_duration, 6) AS wps,
+  round(sil_duration, 4) AS sil_duration,
+  round(spk_duration / sil_duration, 4) AS spk_sil_ratio,
+  round(sil_count / spk_duration, 4) AS sps,
+  round(word_count / spk_duration, 4) AS wps,
   round(total_duration, 6) AS total_duration,
   round(spk_duration / total_duration, 6) AS spk_ratio,
   round(sil_duration / total_duration, 6) AS sil_ratio,
-  round(segment_count / (total_duration / 60.0), 6) AS segs_per_min,
-  round(short_utt_count / (total_duration / 60.0), 6) AS short_utts_per_min
+  round(segment_count / (total_duration / 60.0), 4) AS segs_per_min,
+  round(short_utt_count / (total_duration / 60.0), 4) AS short_utts_per_min
 FROM j
 """
 
@@ -4279,11 +4338,17 @@ FROM toks t LEFT JOIN covl c USING (doc_id)
         # add-k bigram LM self-scoring (k=0.1); mirrors ops/lm.py exactly:
         # p(w1)=(c1+k)/(T+kV), p(w2|w1)=(c12+k)/(c1+kV), log_ppl=-mean ln p
         "lm_ppl_docs": """
-WITH toks AS (
+WITH d0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 1000001, NULL
+  UNION ALL SELECT 1000002, ''
+  UNION ALL SELECT 1000003, '   '
+),
+toks AS (
   SELECT doc_id,
     list_filter(str_split_regex(lower(coalesce(text, '')), '\\s+'),
                 x -> x <> '') AS w
-  FROM documents
+  FROM d0
 ),
 uni AS (
   SELECT tok, count(*) AS c
