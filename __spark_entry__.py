@@ -2376,7 +2376,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conf_stats_events": q_conf_stats_events,
         "tpch_q1": q_tpch_q1,
     }
-    return {k: _pinned(f) for k, f in _q.items()}
+    ordered = {k: _q[k] for k in _R05_WINDOW}
+    ordered.update({k: f for k, f in _q.items() if k not in ordered})
+    assert len(ordered) == len(_q), "window names must exist in the registry"
+    return {k: _pinned(f) for k, f in ordered.items()}
+
+
+# ROUND-5 COVERAGE WINDOW (VERDICT r4 "Next round" #3): the driver writes
+# correctness rows for only the first 50 registry entries, so the window
+# leads with the 47 queries whose ONLY green driver row is from r03
+# (longest-unchecked — round-4/5 code could have regressed them), then
+# the 3 queries new/retired-from-rows-only in r5 (quality_model_docs'
+# frozen-coefficient oracle, graph_planted_docs, phrase_merge_docs).
+# Every query beyond position 50 has a green row in CORRECTNESS_r04, so
+# r04 ∪ r05 covers the whole registry again. The NULL-convention
+# variants (timing_stats_events %101 NULL word_timing, liwc_docs NULL-
+# text entity, lm_ppl_docs NULL/empty/whitespace docs) sit INSIDE this
+# window, so their oracle rows are driver-gated this round.
+_R05_WINDOW = [
+    "token_counts_docs", "langid_docs", "fingerprint_docs",
+    "exact_dedup_docs", "jaccard_pairs_docs", "minhash_pairs_docs",
+    "simhash_pairs_docs", "minhash_incremental_docs", "stream_dedup_docs",
+    "entropy_events", "mixture_rates_docs", "bpe_tokens_docs", "pmi_docs",
+    "asof_purchase", "asof_purchase_broadcast", "asof_purchase_forward",
+    "asof_purchase_nearest", "decontaminate_bloom_docs", "emb_pool_label",
+    "sessionize_events", "session_stats_events", "latency_stats_events",
+    "rolling_events_1h", "backfill_purchase", "role_transitions_events",
+    "pos_docs", "liwc_docs", "quality_docs", "gopher_docs",
+    "bm25_topk_docs", "lm_ppl_docs", "rolling_median_events",
+    "dup_spans_docs", "despan_docs", "heavy_hitters_docs",
+    "zscore_events", "daily_stats_events", "asof_purchase_tolerance",
+    "graph_docs", "multilevel_events", "ivf_topk", "multimodal_features",
+    "bmp_stats_media", "hypothesis_mean_docs", "timing_stats_events",
+    "conf_stats_events", "tpch_q1",
+    "quality_model_docs", "graph_planted_docs", "phrase_merge_docs",
+]
 
 
 # ---------------------------------------------------------------- oracles

@@ -158,6 +158,28 @@ def main() -> None:
         timings[name] = round(_timed_thunk(mk, warmups=2, reps=5), 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # ---- composite pipelines (r5, VERDICT r4 #9): the end-to-end fused
+    # plans, not just their pieces — a regression in the COMPOSITION
+    # (broken exchange reuse, a stage that re-scans) shows up here even
+    # when every stage op benches flat.
+    def mk_prepare_sft():
+        from feature_extraction_spark.ops.pipeline import prepare_sft
+
+        return prepare_sft(t, max_chars=2000, dedup_lines=True)
+
+    def mk_prepare_corpus():
+        from feature_extraction_spark.ops.pipeline import prepare_corpus
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return prepare_corpus(docs, max_tokens=128)
+
+    for name, mk in (
+        ("prepare_sft", mk_prepare_sft),
+        ("prepare_corpus", mk_prepare_corpus),
+    ):
+        timings[name] = round(_timed_thunk(mk, warmups=2, reps=5), 3)
+        print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
+
     # ---- tier 2: corpus ops at sf1 (10x documents) ----------------------
     # At sf0.1 most corpus queries are sub-second and compile/constant-
     # overhead dominated; regressions hide below noise. Tier 2 re-times

@@ -11,9 +11,14 @@ BENCH/BASELINE.md and BENCH/scaling.json.
 Usage: python scripts/scaling_bench.py [n_convs] [seed] [reps]
 
 Env knobs:
-  FES_JOB=flagship|dedup   job class (dedup = OPH MinHash-LSH + exact
+  FES_JOB=flagship|dedup|ann
+                           job class (dedup = OPH MinHash-LSH + exact
                            verification over synth_documents; first CLI
-                           arg is then n_docs; writes scaling_dedup.json)
+                           arg is then n_docs; writes scaling_dedup.json.
+                           ann = 64 probes of the PERSISTED IVF index
+                           over synth_embeddings; the index is built once
+                           OUTSIDE both levels — serve-path scaling; first
+                           CLI arg is n_vecs; writes scaling_ann.json)
   FES_PIN=0                disable per-level CPU pinning
   FES_SHUFFLE_PARTITIONS   fixed across levels (default 64)
   FES_ADVISORY             AQE advisory partition size (e.g. 16m)
@@ -72,6 +77,16 @@ t = spark.read.parquet(tpath)
 n_turns = t.count()
 job = os.environ.get("FES_JOB", "flagship")
 
+if job == "ann":
+    # queries are INPUT, not measured work: 64 deterministic probe
+    # vectors collected once, outside every timed/warmup pass
+    import pyspark.sql.functions as F
+    _qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in t.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+    ]
+    _idx_dir = tpath + "_index"
+
 def build():
     if job == "dedup":
         # corpus path: OPH MinHash-LSH + exact-Jaccard verification — the
@@ -81,6 +96,23 @@ def build():
         from feature_extraction_spark.ops.dedup import minhash_lsh_dedup
         return minhash_lsh_dedup(t, threshold=0.8, num_hashes=128,
                                  bands=32, method="oph")
+    if job == "ann":
+        # serving path: 64 probes of the persisted IVF index batched as
+        # ONE union plan (a serve tier dispatches many probes
+        # concurrently; one job also keeps every slot busy at both
+        # levels). Each probe partition-prunes to nprobe/64 of the table
+        # and runs exchange-free (scan -> cosine -> TakeOrdered heaps).
+        # Probes re-read the committed centroid snapshot at CONSTRUCTION
+        # (driver-side, tiny) — rebuilt inside the pass like dedup.
+        from functools import reduce
+        import pyspark.sql.functions as F
+        from feature_extraction_spark.ops.similarity import ivf_topk_indexed
+        probes = [
+            ivf_topk_indexed(spark, _idx_dir, q, k=10, nprobe=8)
+            .withColumn("q", F.lit(i))
+            for i, q in enumerate(_qvecs)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), probes)
     return flagship_pipeline(t)
 
 out = build()
@@ -94,11 +126,11 @@ def force(df):
 # SMALL plan; on 50M+ row inputs one pass already executes each generated
 # loop millions of times, so FES_WARMUPS=1 is enough there)
 for _ in range(int(os.environ.get("FES_WARMUPS", "3"))):
-    force(build() if job == "dedup" else out)
+    force(build() if job in ("dedup", "ann") else out)
 sc = spark.sparkContext
 sc.setJobGroup("timed", "timed scaling pass")
 t0 = time.monotonic()
-if job == "dedup":
+if job in ("dedup", "ann"):
     out = build()  # construction-time materialization counted in the wall
 force(out)
 wall = time.monotonic() - t0
@@ -181,6 +213,9 @@ def main() -> None:
     if job == "dedup":
         tpath = f"/tmp/spark_graft_bench/docs_scaling_{n_convs}_seed{seed}"
         synth_fn, synth_kw = "synth_documents", f"n_docs={n_convs}"
+    elif job == "ann":
+        tpath = f"/tmp/spark_graft_bench/emb_scaling_{n_convs}_seed{seed}"
+        synth_fn, synth_kw = "synth_embeddings", f"n_vecs={n_convs}"
     else:
         tpath = (
             f"/tmp/spark_graft_bench/transcripts_scaling_{n_convs}_seed{seed}"
@@ -196,6 +231,22 @@ def main() -> None:
             "{fn}(spark, {kw}, seed={s})"
             ".write.mode('overwrite').parquet({p!r})"
         ).format(repo=REPO, fn=synth_fn, kw=synth_kw, s=seed, p=tpath)
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
+
+    if job == "ann" and not os.path.exists(tpath + "_index"):
+        # the index is built ONCE, outside both levels: serve-path
+        # scaling measures the PROBE, not the build (which has its own
+        # Lloyd-iteration cost profile and is amortized over every probe
+        # of the index's lifetime)
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r});"
+            "from feature_extraction_spark.session import get_spark;"
+            "from feature_extraction_spark.ops.similarity import"
+            " build_ann_index;"
+            "spark = get_spark('idx', cores=32, shuffle_partitions=32);"
+            "build_ann_index(spark.read.parquet({p!r}), {i!r},"
+            " n_centroids=64, iters=2, seed=42)"
+        ).format(repo=REPO, p=tpath, i=tpath + "_index")
         subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
 
     # This box is SHARED: neighbor load swings single-shot walls 2-3x and
