@@ -148,6 +148,11 @@ def main() -> None:
         "render_turns_events", "render_conv_events",
         "truncate_conv_events", "jsonl_parse_events",
         "hard_negatives_emb", "shuffle_order_docs",
+        # r5 additions. graph_planted_docs is deliberately NOT a bench
+        # entry (39 s at sf0.1 — the per-group networkx kernel is a
+        # correctness gate, not a perf query; graph_docs is excluded for
+        # the same reason).
+        "quality_model_docs", "phrase_merge_docs",
     ]
     # tier-1 runs the FLAGSHIP protocol (warmups=2, min-of-5) since r4:
     # min-of-2 left per-query regressions undetectable below ~2x on this
